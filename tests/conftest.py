@@ -1,0 +1,21 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Multi-chip code paths (esvo_tpu.parallel) are exercised without TPUs via
+XLA's host-platform device-count override, per SURVEY.md §4.
+
+Note: this environment pre-registers a TPU PJRT plugin at interpreter
+start, so the platform must be switched via jax.config (the CPU backend is
+created lazily and picks up XLA_FLAGS at that point).
+"""
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
