@@ -1,0 +1,72 @@
+"""Batched bilinear patch interpolation.
+
+The single most shared primitive in the system: the reference implements
+the identical routine three times (DepthProblem::patchInterpolation,
+esvo_core/src/core/DepthProblem.cpp:193-262; RegProblemLM::patchInterpolation,
+esvo_core/src/core/RegProblemLM.cpp:418-487; EventMatcher::patchInterpolation2,
+esvo_core/src/core/EventMatcher.cpp:302-347). Here it exists once, batched
+over an arbitrary number of query locations, fully vectorized (one gather +
+two fused multiply-adds), and differentiable — `jax.jacfwd` through it gives
+the exact in-cell gradient that the reference approximates with numerical
+differences.
+
+Semantics match the reference exactly:
+- the patch is anchored at ``floor(location) - (w - 1) / 2`` (integer
+  half-sizes, odd patch sizes assumed),
+- the value at patch pixel (y, x) is the bilinear interpolation of the
+  image at ``(floor(u) + x - hx + frac(u), floor(v) + y - hy + frac(v))``,
+- validity requires the (wy+1, wx+1) source window to lie strictly inside
+  the image: upleft >= 0 and ``upleft + w < size`` on both axes (the
+  reference's "patchInterpolation 3" check is the binding one).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def patch_interpolate(img: jax.Array, loc: jax.Array, wy: int, wx: int):
+    """Interpolate (wy, wx) patches of `img` centred at sub-pixel `loc`.
+
+    Args:
+      img: (H, W) image.
+      loc: (..., 2) query locations as (x, y) pixel coordinates.
+      wy, wx: odd patch sizes.
+
+    Returns:
+      (patch, ok): patch (..., wy, wx) with img.dtype (garbage where not ok,
+      clipped-index gather keeps it finite); ok (...,) bool validity.
+    """
+    H, W = img.shape
+    hx = (wx - 1) // 2
+    hy = (wy - 1) // 2
+    x = loc[..., 0]
+    y = loc[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    ul_x = x0.astype(jnp.int32) - hx
+    ul_y = y0.astype(jnp.int32) - hy
+    # reference checks: upleft >= 0, downright < size, AND
+    # upleft + w < size (the (w+1)-wide source window must fit);
+    # the last is strictly tighter than downright < size.
+    ok = (ul_x >= 0) & (ul_y >= 0) & (ul_x + wx < W) & (ul_y + wy < H)
+
+    rows = ul_y[..., None] + jnp.arange(wy + 1, dtype=jnp.int32)   # (..., wy+1)
+    cols = ul_x[..., None] + jnp.arange(wx + 1, dtype=jnp.int32)   # (..., wx+1)
+    rows = jnp.clip(rows, 0, H - 1)
+    cols = jnp.clip(cols, 0, W - 1)
+    src = img[rows[..., :, None], cols[..., None, :]]   # (..., wy+1, wx+1)
+
+    fx = (x - x0)[..., None, None]
+    fy = (y - y0)[..., None, None]
+    r = (1.0 - fx) * src[..., :, :wx] + fx * src[..., :, 1:]
+    patch = (1.0 - fy) * r[..., :wy, :] + fy * r[..., 1:, :]
+    return patch, ok
+
+
+def bilinear_sample(img: jax.Array, loc: jax.Array, fill: float = 0.0):
+    """Plain bilinear point sample of img (H, W) at (x, y) locations (..., 2),
+    `fill` outside the valid interpolation domain."""
+    patch, ok = patch_interpolate(img, loc, 1, 1)
+    val = patch[..., 0, 0]
+    return jnp.where(ok, val, fill)
