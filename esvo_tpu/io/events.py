@@ -1,0 +1,87 @@
+"""ROS-free event ingestion and fixed-capacity framing.
+
+Replaces the reference's ROS event transport and the offline
+``events_repacking_helper`` (events_repacking_helper/src/
+EventMessageEditor.cpp:95-121): instead of re-chunking rosbag messages at
+1000 Hz so callbacks stay fresh, events are packed host-side into dense
+per-sync-tick frames of a fixed capacity — the shape the device programs
+consume (esvo_tpu.surface.time_surface.EventBatch).
+
+Supported sources:
+- rpg/upenn DAVIS text format `t x y polarity` per line (the datasets
+  referenced in README.md:86),
+- in-memory NumPy arrays (synthetic generator, converters).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class EventArray:
+    """Host-side packed event stream (sorted by time)."""
+    t: np.ndarray  # (N,) float64 seconds
+    x: np.ndarray  # (N,) int32
+    y: np.ndarray  # (N,) int32
+    p: np.ndarray  # (N,) bool
+
+    def __post_init__(self):
+        assert self.t.ndim == 1
+        assert len(self.t) == len(self.x) == len(self.y) == len(self.p)
+
+    def __len__(self):
+        return len(self.t)
+
+    def slice_time(self, t0: float, t1: float) -> "EventArray":
+        """Events with t in (t0, t1]."""
+        lo = np.searchsorted(self.t, t0, side="right")
+        hi = np.searchsorted(self.t, t1, side="right")
+        return EventArray(self.t[lo:hi], self.x[lo:hi], self.y[lo:hi],
+                          self.p[lo:hi])
+
+
+def load_events_txt(path: str, max_events: int | None = None) -> EventArray:
+    """Load a DAVIS `events.txt` (t x y p per line)."""
+    data = np.loadtxt(path, dtype=np.float64,
+                      max_rows=max_events)
+    if data.ndim == 1:
+        data = data[None, :]
+    return EventArray(t=data[:, 0].astype(np.float64),
+                      x=data[:, 1].astype(np.int32),
+                      y=data[:, 2].astype(np.int32),
+                      p=data[:, 3] > 0.5)
+
+
+def frame_events(ev: EventArray, sync_times: np.ndarray,
+                 capacity: int):
+    """Pack events into K fixed-capacity frames: frame k holds the events
+    in (sync_times[k-1], sync_times[k]] (frame 0 takes everything up to
+    sync_times[0]). Overflow beyond `capacity` is dropped newest-last
+    (mirrors the reference's PROCESS_EVENT_NUM cap,
+    esvo_Mapping.cpp:282-304).
+
+    Returns dict of arrays with leading axis K:
+      x, y (int32), t (float32), p (bool), valid (bool), plus
+      `dropped` (K,) int32 overflow counts.
+    """
+    K = len(sync_times)
+    x = np.zeros((K, capacity), np.int32)
+    y = np.zeros((K, capacity), np.int32)
+    t = np.zeros((K, capacity), np.float32)
+    p = np.zeros((K, capacity), bool)
+    valid = np.zeros((K, capacity), bool)
+    dropped = np.zeros((K,), np.int32)
+    prev = -np.inf
+    for k, ts in enumerate(sync_times):
+        sl = ev.slice_time(prev, ts)
+        n = min(len(sl), capacity)
+        dropped[k] = len(sl) - n
+        x[k, :n] = sl.x[:n]
+        y[k, :n] = sl.y[:n]
+        t[k, :n] = sl.t[:n]
+        p[k, :n] = sl.p[:n]
+        valid[k, :n] = True
+        prev = ts
+    return dict(x=x, y=y, t=t, p=p, valid=valid, dropped=dropped)

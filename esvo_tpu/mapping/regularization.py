@@ -4,8 +4,9 @@ Re-designs ``DepthRegularization`` (esvo_core/src/core/DepthRegularization.cpp).
 The reference walks the sparse grid, gathers a (2r+1)^2 neighbourhood per
 point and either smooths it (inverse-variance weighted mean for l2,
 sequential pairwise Student-t posterior for Tdist) or invalidates it. Here
-the window is processed as (2r+1)^2 shifted planes of the dense grid —
-each step is (H, W) elementwise math, no gathers.
+the window is processed as (2r+1)^2 shifted planes of the dense grid via a
+single ``lax.scan`` over window offsets (an unrolled 121-step fold of
+(H, W) ops compiles pathologically; the scan body compiles once).
 
 Semantics preserved (DepthRegularization.cpp:19-110):
 - neighbours = valid cells in the (2r+1)^2 window incl. the centre
@@ -34,42 +35,42 @@ class RegularizationConfig:
     min_close_neighbours: int = struct.field(pytree_node=False, default=8)
 
 
-def _shift(a: jax.Array, dy: int, dx: int, fill):
-    """View of `a` where out[y, x] = a[y + dy, x + dx], `fill` outside."""
-    out = jnp.full_like(a, fill)
-    H, W = a.shape[:2]
-    ys_dst = slice(max(0, -dy), min(H, H - dy))
-    xs_dst = slice(max(0, -dx), min(W, W - dx))
-    ys_src = slice(max(0, dy), min(H, H + dy))
-    xs_src = slice(max(0, dx), min(W, W + dx))
-    return out.at[ys_dst, xs_dst].set(a[ys_src, xs_src])
-
-
 def regularize(grid: DepthGrid, cfg: RegularizationConfig) -> DepthGrid:
     r = cfg.radius
+    H, W = grid.inv_depth.shape
     valid = grid.occupied
     invD = grid.inv_depth
     var = grid.variance
     std2 = 2.0 * jnp.sqrt(jnp.maximum(var, 0.0))
+    zero = jnp.zeros_like(invD)
 
-    offsets = [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
+    # pad once; out-of-image neighbours are invalid
+    def padded(a, fill):
+        return jnp.pad(a, ((r, r), (r, r)), constant_values=fill)
 
-    n_count = jnp.zeros_like(invD)
-    close_count = jnp.zeros_like(invD)
-    wsum = jnp.zeros_like(invD)
-    wmean = jnp.zeros_like(invD)
-    # Tdist fold state
-    t_started = jnp.zeros_like(valid)
-    t_nu = jnp.zeros_like(invD)
-    t_invD = jnp.zeros_like(invD)
-    t_s2 = jnp.ones_like(invD)
+    pv = padded(valid, False)
+    pd = padded(invD, 0.0)
+    pvar = padded(var, 1.0)
+    ps2 = padded(grid.scale2, 1.0)
+    pnu = padded(grid.nu, 1.0)
 
-    for dy, dx in offsets:
-        v_n = _shift(valid, dy, dx, False)
-        d_n = _shift(invD, dy, dx, 0.0)
-        var_n = _shift(var, dy, dx, 1.0)
-        s2_n = _shift(grid.scale2, dy, dx, 1.0)
-        nu_n = _shift(grid.nu, dy, dx, 1.0)
+    offs = jnp.stack(jnp.meshgrid(jnp.arange(2 * r + 1),
+                                  jnp.arange(2 * r + 1),
+                                  indexing="ij"), axis=-1).reshape(-1, 2)
+
+    def body(carry, off):
+        (n_count, close_count, wsum, wmean,
+         t_started, t_nu, t_invD, t_s2) = carry
+        dy, dx = off[0], off[1]
+
+        def sl(p):
+            return jax.lax.dynamic_slice(p, (dy, dx), (H, W))
+
+        v_n = sl(pv)
+        d_n = sl(pd)
+        var_n = sl(pvar)
+        s2_n = sl(ps2)
+        nu_n = sl(pnu)
 
         n_count = n_count + v_n
         diff = jnp.abs(invD - d_n)
@@ -90,6 +91,13 @@ def regularize(grid: DepthGrid, cfg: RegularizationConfig) -> DepthGrid:
             t_s2 = jnp.where(init, s2_n, jnp.where(upd, f_s2, t_s2))
             t_nu = jnp.where(init, nu_n, jnp.where(upd, f_nu, t_nu))
             t_started = t_started | close
+        return (n_count, close_count, wsum, wmean,
+                t_started, t_nu, t_invD, t_s2), None
+
+    carry0 = (zero, zero, zero, zero,
+              jnp.zeros_like(valid), zero, zero, jnp.ones_like(invD))
+    (n_count, close_count, wsum, wmean, _, _, t_invD, _), _ = \
+        jax.lax.scan(body, carry0, offs)
 
     enough = (n_count > cfg.min_neighbours) \
         & (close_count > cfg.min_close_neighbours)

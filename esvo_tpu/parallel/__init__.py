@@ -1,0 +1,9 @@
+from esvo_tpu.parallel.sharding import (
+    make_mesh,
+    sharded_surface_update,
+    sharded_map_estimate,
+    sharded_tracking_step,
+)
+
+__all__ = ["make_mesh", "sharded_surface_update", "sharded_map_estimate",
+           "sharded_tracking_step"]

@@ -1,0 +1,128 @@
+"""Multi-chip scaling: shard the event/point axes over a device mesh.
+
+The reference's concurrency is CPU thread striping over events
+(core/EventBM.cpp:299-315, core/DepthProblemSolver.cpp:80-90) and over
+map points (core/RegProblemLM.cpp:98-113), plus ROS process pipelining
+(SURVEY.md section 2). The TPU-native equivalents, all built on
+``jax.sharding.Mesh`` + ``shard_map`` with XLA collectives over ICI:
+
+- **time-surface update**: events are data-parallel; each device scatters
+  its shard into a local last-timestamp grid, and the grids merge with an
+  elementwise max all-reduce (scatter-max is associative, so the sharded
+  update is exactly the serial one);
+- **mapping (BM + depth refinement)**: embarrassingly parallel over the
+  event axis — each device matches/refines its shard, results
+  all-gather (the per-event estimates are tiny next to the compute);
+- **tracking Gauss-Newton**: points shard across devices; J^T J (6x6) and
+  J^T r (6,) reduce with psum — the canonical data-parallel normal
+  equations.
+
+Everything here also runs on a CPU host mesh
+(``--xla_force_host_platform_device_count``) for CI.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from esvo_tpu.geometry.camera import StereoRig, Camera
+from esvo_tpu.surface import time_surface as tsf
+from esvo_tpu.mapping import block_matching as bm
+from esvo_tpu.mapping import depth_refinement as dr
+from esvo_tpu.tracking import registration as reg
+
+EVENT_AXIS = "ev"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (EVENT_AXIS,))
+
+
+def sharded_surface_update(mesh: Mesh, state: tsf.TimeSurfaceState,
+                           ev: tsf.EventBatch) -> tsf.TimeSurfaceState:
+    """Scatter-max event timestamps with the event axis sharded.
+
+    Per-device local scatter + max all-reduce == the serial insert_events
+    (esvo_tpu/surface/time_surface.py), because max is associative.
+    """
+    def body(last_pos, last_neg, ev_shard):
+        local = tsf.insert_events(
+            tsf.TimeSurfaceState(last_t_pos=last_pos, last_t_neg=last_neg),
+            ev_shard)
+        return (jax.lax.pmax(local.last_t_pos, EVENT_AXIS),
+                jax.lax.pmax(local.last_t_neg, EVENT_AXIS))
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(EVENT_AXIS)),
+        out_specs=(P(), P()))
+    pos, neg = fn(state.last_t_pos, state.last_t_neg, ev)
+    return tsf.TimeSurfaceState(last_t_pos=pos, last_t_neg=neg)
+
+
+def sharded_map_estimate(mesh: Mesh, rig: StereoRig,
+                         bm_cfg: bm.BlockMatchConfig,
+                         dp_cfg: dr.DepthProblemConfig):
+    """Returns a function (ts_l, ts_r, x_rect, t, valid, T_wv, T_lv,
+    d_init_unused...) -> DepthEstimates with the event axis sharded.
+
+    Mirrors the thread-striped EventBM + DepthProblemSolver pipeline
+    (EventBM.cpp:299-315, DepthProblemSolver.cpp:28-90) as one device
+    program per shard; outputs stay sharded (callers usually scatter/fuse
+    them next, which is cheapest on the gathered host of the estimates).
+    """
+
+    def body(ts_l, ts_r, x_rect, t, valid, T_wv, T_lv):
+        matches = bm.match_events(ts_l, ts_r, x_rect, x_rect, t, valid,
+                                  rig.left.mask, rig, bm_cfg)
+        est = dr.solve(matches.x_left, T_wv, T_lv, matches.inv_depth,
+                       matches.valid, t, ts_l, ts_r, rig, dp_cfg)
+        return est
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(EVENT_AXIS), P(EVENT_AXIS), P(EVENT_AXIS),
+                  P(EVENT_AXIS), P(EVENT_AXIS)),
+        out_specs=jax.tree.map(lambda _: P(EVENT_AXIS),
+                               dr.DepthEstimates(*([0] * 10))))
+    return fn
+
+
+def sharded_tracking_step(mesh: Mesh, camera: Camera,
+                          cfg: reg.RegProblemConfig):
+    """Returns fn(prob_R, prob_t, T_world_ref, ts_neg, grad_u, grad_v,
+    points, valid) -> (dx (6,), cost) with points sharded: per-shard
+    J^T J / J^T r + psum, replicated solve.
+    """
+
+    def body(R, t, T_world_ref, ts_neg, gu, gv, pts, ok):
+        prob = reg.RegProblem(R=R, t=t, T_world_ref=T_world_ref,
+                              points=pts, point_valid=ok, ts_negative=ts_neg,
+                              grad_u=gu, grad_v=gv)
+        zero = jnp.zeros(6, dtype=R.dtype)
+        fvec, _, _ = reg.residuals_and_weights(prob, zero, pts, ok, camera,
+                                               cfg)
+        J = reg.analytic_jacobian(prob, pts, ok, camera, cfg)
+        f = fvec.reshape(-1)
+        H = jax.lax.psum(J.T @ J, EVENT_AXIS)
+        g = jax.lax.psum(J.T @ f, EVENT_AXIS)
+        cost = jax.lax.psum(jnp.sum(f * f), EVENT_AXIS)
+        damp = cfg.lm_damping * jnp.diag(jnp.diag(H)) \
+            + 1e-12 * jnp.eye(6, dtype=R.dtype)
+        dx = -jnp.linalg.solve(H + damp, g)
+        return dx, cost
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(EVENT_AXIS),
+                  P(EVENT_AXIS)),
+        out_specs=(P(), P()))
+    return fn

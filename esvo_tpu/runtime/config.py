@@ -1,0 +1,180 @@
+"""System configuration: one dataclass tree replacing the reference's ROS
+parameter server + per-node YAMLs (cfg/mapping/*.yaml, cfg/tracking/*.yaml,
+cfg/time_surface/ts_parameters.yaml) and dynamic_reconfigure
+(cfg/DVS_MappingStereo.cfg).
+
+`SystemConfig.from_yaml` understands the reference's parameter names so the
+shipped dataset configs (e.g. cfg/mapping/mapping_rpg.yaml) translate
+directly.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from esvo_tpu.surface.time_surface import TimeSurfaceConfig
+from esvo_tpu.mapping.block_matching import BlockMatchConfig
+from esvo_tpu.mapping.depth_refinement import DepthProblemConfig
+from esvo_tpu.mapping.fusion import FusionConfig
+from esvo_tpu.mapping.regularization import RegularizationConfig
+from esvo_tpu.mapping.initialization import SGMConfig
+from esvo_tpu.tracking.registration import RegProblemConfig
+
+
+@dataclasses.dataclass
+class MappingConfig:
+    """Node-level mapping knobs (esvo_Mapping.cpp:35-99 defaults ->
+    cfg/mapping/mapping_rpg.yaml values)."""
+    inv_depth_min_range: float = 0.2
+    inv_depth_max_range: float = 2.0
+    residual_vis_threshold: float = 20.0
+    std_var_vis_threshold: float = 0.015
+    age_max_range: int = 10
+    age_vis_threshold: int = 1
+    fusion_strategy: str = "CONST_POINTS"   # or "CONST_FRAMES"
+    max_fusion_frames: int = 40
+    max_fusion_points: int = 5000
+    denoising: bool = True
+    regularization: bool = True
+    process_event_num: int = 1000
+    ts_history_length: int = 100
+    init_sgm_num_threshold: int = 500
+    mapping_rate_hz: float = 20.0
+    bm_half_slice_thickness: float = 0.001
+
+    @property
+    def cost_vis_threshold(self) -> float:
+        # set at SystemConfig level (needs patch area)
+        raise AttributeError
+
+
+@dataclasses.dataclass
+class TrackingNodeConfig:
+    """Node-level tracking knobs (esvo_Tracking.cpp:24-60)."""
+    tracking_rate_hz: float = 100.0
+    ref_history_length: int = 10
+    min_num_events: int = 1000
+
+
+@dataclasses.dataclass
+class SystemConfig:
+    surface: TimeSurfaceConfig = dataclasses.field(
+        default_factory=TimeSurfaceConfig)
+    bm: BlockMatchConfig = dataclasses.field(default_factory=BlockMatchConfig)
+    depth: DepthProblemConfig = dataclasses.field(
+        default_factory=DepthProblemConfig)
+    fusion: FusionConfig = dataclasses.field(default_factory=FusionConfig)
+    regularizer: RegularizationConfig = dataclasses.field(
+        default_factory=RegularizationConfig)
+    sgm: SGMConfig = dataclasses.field(default_factory=SGMConfig)
+    tracker: RegProblemConfig = dataclasses.field(
+        default_factory=RegProblemConfig)
+    mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
+    tracking: TrackingNodeConfig = dataclasses.field(
+        default_factory=TrackingNodeConfig)
+
+    def __post_init__(self):
+        # keep the per-module LSnorm settings coherent
+        norm = self.depth.ls_norm
+        self.fusion = dataclasses.replace(self.fusion, ls_norm=norm)
+        self.regularizer = dataclasses.replace(
+            self.regularizer, ls_norm=norm,
+            radius=self.depth.regularization_radius,
+            min_neighbours=self.depth.regularization_min_neighbours,
+            min_close_neighbours=(
+                self.depth.regularization_min_close_neighbours))
+
+    @property
+    def cost_vis_threshold(self) -> float:
+        """pow(residual_vis_threshold, 2) * patch_area
+        (esvo_Mapping.cpp:69)."""
+        return (self.mapping.residual_vis_threshold ** 2
+                * self.depth.patch_area)
+
+    @staticmethod
+    def from_yaml(mapping_yaml: str | None = None,
+                  tracking_yaml: str | None = None,
+                  time_surface_yaml: str | None = None) -> "SystemConfig":
+        """Build from reference-format YAML files (parameter names as in
+        cfg/mapping/*.yaml, cfg/tracking/*.yaml, ts_parameters.yaml)."""
+        import yaml
+
+        cfg = SystemConfig()
+        if mapping_yaml:
+            with open(mapping_yaml) as f:
+                m = yaml.safe_load(f)
+            cfg.depth = DepthProblemConfig(
+                patch_size_x=int(m.get("patch_size_X", 15)),
+                patch_size_y=int(m.get("patch_size_Y", 7)),
+                ls_norm=str(m.get("Lnorm", "Tdist")),
+                td_nu=float(m.get("Tdist_nu", 2.1897)),
+                td_scale=float(m.get("Tdist_scale", 16.6397)),
+                max_iteration=int(m.get("ITERATION_OPTIMIZATION", 10)),
+                regularization_radius=int(m.get("RegularizationRadius", 5)),
+                regularization_min_neighbours=int(
+                    m.get("RegularizationMinNeighbours", 8)),
+                regularization_min_close_neighbours=int(
+                    m.get("RegularizationMinCloseNeighbours", 8)))
+            cfg.bm = BlockMatchConfig(
+                patch_size_x=int(m.get("patch_size_X", 15)),
+                patch_size_y=int(m.get("patch_size_Y", 7)),
+                min_disparity=int(m.get("BM_min_disparity", 1)),
+                max_disparity=int(m.get("BM_max_disparity", 40)),
+                step=int(m.get("BM_step", 1)),
+                zncc_threshold=float(m.get("BM_ZNCC_Threshold", 0.1)),
+                up_down=bool(m.get("BM_bUpDownConfiguration", False)),
+                smooth_time_surface=bool(m.get("SmoothTimeSurface", False)))
+            cfg.fusion = FusionConfig(
+                ls_norm=str(m.get("Lnorm", "Tdist")),
+                fusion_radius=int(m.get("fusion_radius", 0)))
+            cfg.mapping = MappingConfig(
+                inv_depth_min_range=float(m.get("invDepth_min_range", 0.2)),
+                inv_depth_max_range=float(m.get("invDepth_max_range", 2.0)),
+                residual_vis_threshold=float(
+                    m.get("residual_vis_threshold", 20)),
+                std_var_vis_threshold=float(
+                    m.get("stdVar_vis_threshold", 0.015)),
+                age_max_range=int(m.get("age_max_range", 10)),
+                age_vis_threshold=int(m.get("age_vis_threshold", 1)),
+                fusion_strategy=str(m.get("FUSION_STRATEGY",
+                                          "CONST_POINTS")),
+                max_fusion_frames=int(m.get("maxNumFusionFrames", 40)),
+                max_fusion_points=int(m.get("maxNumFusionPoints", 5000)),
+                denoising=bool(m.get("Denoising", True)),
+                regularization=bool(m.get("Regularization", True)),
+                process_event_num=int(m.get("PROCESS_EVENT_NUM", 1000)),
+                ts_history_length=int(m.get("TS_HISTORY_LENGTH", 100)),
+                init_sgm_num_threshold=int(
+                    m.get("INIT_SGM_DP_NUM_THRESHOLD", 500)),
+                mapping_rate_hz=float(m.get("mapping_rate_hz", 20)),
+                bm_half_slice_thickness=float(
+                    m.get("BM_half_slice_thickness", 0.001)))
+        if tracking_yaml:
+            with open(tracking_yaml) as f:
+                t = yaml.safe_load(f)
+            cfg.tracker = RegProblemConfig(
+                patch_size_x=int(t.get("patch_size_X", 1)),
+                patch_size_y=int(t.get("patch_size_Y", 1)),
+                kernel_size=int(t.get("kernelSize", 5)),
+                huber_threshold=float(t.get("huber_threshold", 50)),
+                max_registration_points=int(
+                    t.get("MAX_REGISTRATION_POINTS", 2000)),
+                batch_size=int(t.get("BATCH_SIZE", 300)),
+                max_iteration=int(t.get("MAX_ITERATION", 10)),
+                ls_norm=str(t.get("LSnorm", "Huber")),
+                min_num_events=int(t.get("MIN_NUM_EVENTS", 1000)))
+            cfg.tracking = TrackingNodeConfig(
+                tracking_rate_hz=float(t.get("tracking_rate_hz", 100)),
+                ref_history_length=int(t.get("REF_HISTORY_LENGTH", 10)),
+                min_num_events=int(t.get("MIN_NUM_EVENTS", 1000)))
+        if time_surface_yaml:
+            with open(time_surface_yaml) as f:
+                s = yaml.safe_load(f)
+            cfg.surface = TimeSurfaceConfig(
+                decay_sec=float(s.get("decay_ms", 30)) / 1000.0,
+                ignore_polarity=bool(s.get("ignore_polarity", True)),
+                median_blur_kernel_size=int(
+                    s.get("median_blur_kernel_size", 1)),
+                mode=("backward" if int(s.get("time_surface_mode", 0)) == 0
+                      else "forward"))
+        cfg.__post_init__()
+        return cfg

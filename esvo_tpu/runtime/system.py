@@ -1,0 +1,405 @@
+"""The ESVO system loop: time surfaces -> mapping <-> tracking.
+
+Replaces the reference's ROS node graph (launch/system/*.launch): two
+TimeSurface nodes, esvo_Mapping and esvo_Tracking exchanging messages and
+tf lookups (SURVEY.md section 5). Here each stage is a jit-compiled device
+program and the loop is a host-side scheduler:
+
+- per sync tick (100 Hz): insert the tick's events into both per-pixel
+  timestamp grids, render both surfaces (one fused device program);
+- tracking (every tick while WORKING): register the local map to the new
+  negative left surface, append the pose to the pose table
+  (esvo_Tracking.cpp:79-200);
+- mapping (every `tick_rate/mapping_rate` ticks): denoise + rectify the
+  tick's left events, look up per-event virtual-view poses from the pose
+  table (device-side replacement of the reference's st_map_ + tf buffer,
+  esvo_Mapping.cpp:581-599,630-667), block-match, refine inverse depth,
+  cull, push into the fusion window, rebuild the depth frame by
+  propagating + fusing the whole window, clean, regularize
+  (esvo_Mapping.cpp:261-431);
+- state machine INITIALIZATION -> WORKING with SGM bootstrap and
+  tracking-failure fallback (esvo_Mapping.cpp:194-247,433-492;
+  esvo_Tracking.cpp:91-168).
+
+Deviations (all documented):
+- virtual-view poses are interpolated per event timestamp instead of
+  quantized to 0.05 * slice steps (strictly more accurate; the reference
+  quantizes only to bound tf lookups, esvo_Mapping.cpp:581-599);
+- the fusion window lives on device as a fixed (F, N) ring buffer;
+  CONST_POINTS/CONST_FRAMES strategies control how many slots are active.
+"""
+from __future__ import annotations
+
+import enum
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from esvo_tpu.geometry.camera import StereoRig
+from esvo_tpu.geometry.se3 import interpolate_pose_table, se3_inverse
+from esvo_tpu.surface import time_surface as tsf
+from esvo_tpu.mapping import block_matching as bm
+from esvo_tpu.mapping import depth_refinement as dr
+from esvo_tpu.mapping import fusion as fu
+from esvo_tpu.mapping import initialization as init
+from esvo_tpu.mapping.regularization import regularize
+from esvo_tpu.tracking import registration as reg
+from esvo_tpu.runtime.config import SystemConfig
+
+
+class SystemStatus(enum.Enum):
+    """Reference: /ESVO_SYSTEM_STATUS parameter (esvo_Mapping.cpp:131-132,
+    README.md:109)."""
+    INITIALIZATION = "INITIALIZATION"
+    WORKING = "WORKING"
+    TERMINATE = "TERMINATE"
+
+
+def _tree_stack_slot(history, est, slot):
+    return jax.tree.map(
+        lambda h, e: h.at[slot].set(e.astype(h.dtype)), history, est)
+
+
+class EsvoSystem:
+    """Host-side orchestrator of the jitted pipeline stages."""
+
+    def __init__(self, rig: StereoRig, config: SystemConfig | None = None,
+                 pose_table_size: int = 256, seed: int = 0):
+        self.rig = rig
+        self.cfg = config or SystemConfig()
+        self.H = rig.left.height
+        self.W = rig.left.width
+        self.dtype = rig.left.lut.dtype
+        self.status = SystemStatus.INITIALIZATION
+
+        m = self.cfg.mapping
+        self.N = m.process_event_num
+        if m.fusion_strategy == "CONST_POINTS":
+            # keep frames until ~1.5x maxNumFusionPoints total
+            # (esvo_Mapping.cpp:342-368)
+            self.F = max(int(np.ceil(1.5 * m.max_fusion_points / self.N)), 2)
+        else:
+            self.F = m.max_fusion_frames
+        self.pose_table_size = pose_table_size
+
+        self._rng = np.random.default_rng(seed)
+        self._key = jax.random.PRNGKey(seed)
+        self.reset()
+        self._build_programs()
+
+    # ------------------------------------------------------------------
+    # state
+    # ------------------------------------------------------------------
+    def reset(self):
+        """Full state reset (reference reset(),
+        esvo_Mapping.cpp:764-804)."""
+        H, W, dt = self.H, self.W, self.dtype
+        self.ts_state_left = tsf.init_state(H, W)
+        self.ts_state_right = tsf.init_state(H, W)
+        self.grid = fu.empty_grid(H, W, dt)
+        self.T_world_frame = np.eye(4)
+        F, N = self.F, self.N
+        zero = jnp.zeros
+        self.history = dr.DepthEstimates(
+            x=zero((F, N, 2), dt), inv_depth=-jnp.ones((F, N), dt),
+            variance=zero((F, N), dt), scale2=zero((F, N), dt),
+            nu=zero((F, N), dt), residual=zero((F, N), dt),
+            age=zero((F, N), jnp.int32), p_cam=zero((F, N, 3), dt),
+            T_world_cam=jnp.broadcast_to(jnp.eye(4, dtype=dt), (F, N, 4, 4)),
+            valid=zero((F, N), bool))
+        self._hist_slot = 0
+        self._frames_filled = 0
+        # pose table (host): reference tf buffer, 100 s window
+        self.pose_times = [0.0]
+        self.pose_list = [np.eye(4)]
+        self.T_world_cur = np.eye(4)
+        self.traj_times: list[float] = []
+        self.traj_poses: list[np.ndarray] = []
+        self.status = SystemStatus.INITIALIZATION
+        self.last_tick_time: float | None = None
+        self.events_since_last_obs = 0
+        self.stats = {"fusions": 0, "dropped": 0, "map_points": 0}
+        self._map_pts = None
+        self._map_ok = None
+
+    # ------------------------------------------------------------------
+    # compiled programs
+    # ------------------------------------------------------------------
+    def _build_programs(self):
+        cfg = self.cfg
+        rig = self.rig
+        H, W = self.H, self.W
+
+        @jax.jit
+        def render_tick(st_l, st_r, ev_l, ev_r, t_sync):
+            st_l = tsf.insert_events(st_l, ev_l)
+            st_r = tsf.insert_events(st_r, ev_r)
+            render = (tsf.render_backward if cfg.surface.mode == "backward"
+                      else tsf.render_forward)
+            s_l = render(st_l, t_sync, rig.left, cfg.surface)
+            s_r = render(st_r, t_sync, rig.right, cfg.surface)
+            return st_l, st_r, s_l, s_r
+
+        self._render_tick = render_tick
+
+        N = self.N
+
+        def compact(valid, *arrays):
+            """Move the first N valid lanes to the front (stable), so the
+            expensive batched stages run at fixed width N regardless of
+            the frame capacity."""
+            order = jnp.argsort(~valid, stable=True)[:N]
+            return (valid[order],) + tuple(a[order] for a in arrays)
+
+        @jax.jit
+        def sgm_seed(ts_l, ts_r, ev_x, ev_y, ev_valid, T_world_frame):
+            ev_valid, ev_x, ev_y = compact(ev_valid, ev_x, ev_y)
+            x_rect = rig.left.lut[jnp.clip(ev_y, 0, H - 1),
+                                  jnp.clip(ev_x, 0, W - 1)]
+            est = init.sgm_depth_points(
+                ts_l, ts_r, x_rect, ev_valid, T_world_frame, rig, cfg.sgm,
+                cfg.mapping.inv_depth_min_range,
+                cfg.mapping.inv_depth_max_range,
+                init_age=cfg.mapping.age_vis_threshold)
+            return est, jnp.sum(est.valid)
+
+        self._sgm_seed = sgm_seed
+
+        @jax.jit
+        def map_estimate(ts_l, ts_r, ev_x, ev_y, ev_t, ev_valid,
+                         pose_times, pose_tab, T_world_frame):
+            # denoising mask (esvo_Mapping.cpp:282-304)
+            if cfg.mapping.denoising:
+                mask = init.denoising_mask(ev_x, ev_y, ev_valid, H, W)
+                ev_valid = init.select_denoised(
+                    ev_x, ev_y, ev_valid, mask, cfg.mapping.process_event_num)
+            ev_valid, ev_x, ev_y, ev_t = compact(ev_valid, ev_x, ev_y, ev_t)
+            x_rect = rig.left.lut[jnp.clip(ev_y, 0, H - 1),
+                                  jnp.clip(ev_x, 0, W - 1)]
+            # per-event virtual-view pose
+            T_wv = interpolate_pose_table(pose_times, pose_tab,
+                                          ev_t.astype(pose_tab.dtype))
+            matches = bm.match_events(ts_l, ts_r, x_rect, x_rect, ev_t,
+                                      ev_valid, rig.left.mask, rig, cfg.bm)
+            T_left_world = se3_inverse(T_world_frame)
+            T_lv = jnp.einsum("ij,njk->nik", T_left_world, T_wv)
+            est = dr.solve(matches.x_left, T_wv, T_lv, matches.inv_depth,
+                           matches.valid, ev_t, ts_l, ts_r, rig, cfg.depth)
+            est = dr.point_culling(
+                est, cfg.mapping.std_var_vis_threshold,
+                cfg.cost_vis_threshold, cfg.mapping.inv_depth_min_range,
+                cfg.mapping.inv_depth_max_range)
+            return est, jnp.sum(est.valid)
+
+        self._map_estimate = map_estimate
+
+        @jax.jit
+        def rebuild_frame(history, T_world_frame):
+            flat = jax.tree.map(
+                lambda a: a.reshape((-1,) + a.shape[2:]), history)
+            grid = fu.empty_grid(H, W, self.dtype)
+            T_frame_world = se3_inverse(T_world_frame)
+            cand = fu.propagate_points(flat, T_frame_world, rig.left,
+                                       cfg.fusion)
+            grid, nfused, ndrop = fu.fuse_frame(grid, cand, rig.left,
+                                                cfg.fusion)
+            grid = fu.clean_grid(
+                grid, cfg.mapping.std_var_vis_threshold ** 2,
+                cfg.mapping.age_vis_threshold,
+                cfg.mapping.inv_depth_max_range,
+                cfg.mapping.inv_depth_min_range)
+            if cfg.mapping.regularization:
+                grid = regularize(grid, cfg.regularizer)
+            pts_world, occ = fu.grid_points_world(grid, T_world_frame)
+            return grid, pts_world, occ, nfused, ndrop
+
+        self._rebuild_frame = rebuild_frame
+
+        @jax.jit
+        def seed_frame(history, T_world_frame):
+            """Naive fusion for the SGM bootstrap
+            (esvo_Mapping.cpp:482-491)."""
+            flat = jax.tree.map(
+                lambda a: a.reshape((-1,) + a.shape[2:]), history)
+            grid = fu.empty_grid(H, W, self.dtype)
+            T_frame_world = se3_inverse(T_world_frame)
+            cand = fu.propagate_points(flat, T_frame_world, rig.left,
+                                       cfg.fusion)
+            grid = fu.naive_fuse_frame(grid, cand, rig.left, cfg.fusion)
+            pts_world, occ = fu.grid_points_world(grid, T_world_frame)
+            return grid, pts_world, occ
+
+        self._seed_frame = seed_frame
+
+        M = cfg.tracker.max_registration_points
+
+        @jax.jit
+        def track(ts_l, T_world_ref, T_world_cur, pts_world, pt_valid, key):
+            # stochastic point selection (RegProblemLM.cpp:45-55)
+            flat_pts = pts_world.reshape(-1, 3)
+            flat_ok = pt_valid.reshape(-1)
+            score = jax.random.uniform(key, flat_ok.shape) \
+                + jnp.where(flat_ok, 0.0, 1e3)
+            idx = jnp.argsort(score)[:M]
+            pts = flat_pts[idx]
+            ok = flat_ok[idx]
+            prob = reg.make_problem(T_world_ref.astype(self.dtype),
+                                    T_world_cur.astype(self.dtype),
+                                    pts, ok, ts_l, cfg.tracker)
+            prob, T_est, rms = reg.solve(prob, rig.left, cfg.tracker)
+            return T_est, rms, jnp.sum(ok)
+
+        self._track = track
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+    def _event_batch(self, ev: dict, i: int | None = None) -> tsf.EventBatch:
+        pick = (lambda a: a) if i is None else (lambda a: a[i])
+        return tsf.EventBatch.from_arrays(pick(ev["x"]), pick(ev["y"]),
+                                          pick(ev["t"]), pick(ev["p"]),
+                                          pick(ev["valid"]))
+
+    def _pose_table(self):
+        """Fixed-size (pose_table_size,) stamped-pose table: the most
+        recent poses, padded by repeating the last entry with strictly
+        increasing timestamps. Constant shape -> no recompiles as the
+        buffer fills (queries past the end clamp to the latest pose)."""
+        S = self.pose_table_size
+        times = np.asarray(self.pose_times[-S:], np.float64)
+        poses = np.asarray(self.pose_list[-S:])
+        n = len(times)
+        if n < S:
+            pad_t = times[-1] + 1e-5 * np.arange(1, S - n + 1)
+            times = np.concatenate([times, pad_t])
+            poses = np.concatenate(
+                [poses, np.repeat(poses[-1:], S - n, axis=0)])
+        return (jnp.asarray(times, self.dtype),
+                jnp.asarray(poses, self.dtype))
+
+    def record_pose(self, t: float, T_world_cam: np.ndarray):
+        """Feed a pose into the tf-equivalent buffer (GT poses in MVStereo
+        mode, tracker poses in closed loop)."""
+        self.pose_times.append(float(t))
+        self.pose_list.append(np.asarray(T_world_cam))
+        self.T_world_cur = np.asarray(T_world_cam)
+
+    def _push_history(self, est: dr.DepthEstimates):
+        self.history = _tree_stack_slot(self.history, est, self._hist_slot)
+        self._hist_slot = (self._hist_slot + 1) % self.F
+        self._frames_filled = min(self._frames_filled + 1, self.F)
+
+    # ------------------------------------------------------------------
+    # pipeline stages
+    # ------------------------------------------------------------------
+    def process_tick(self, t_sync: float, ev_left: dict, ev_right: dict,
+                     gt_pose: np.ndarray | None = None,
+                     do_mapping: bool = True):
+        """One sync tick. ev_*: dicts from io.events.frame_events (single
+        frame: arrays shaped (N,)). gt_pose: if given, the system runs in
+        MVStereo mode (known poses, esvo_MVStereo.cpp) — tracking is
+        bypassed.
+
+        Returns dict of per-tick outputs.
+        """
+        # timestamp-inconsistency watchdog (esvo_Mapping.cpp:611-628)
+        if self.last_tick_time is not None:
+            dt = t_sync - self.last_tick_time
+            if dt < 0 or dt >= 0.5:
+                self.reset()
+        self.last_tick_time = t_sync
+
+        out = {"t": t_sync, "status": self.status.value}
+        self.ts_state_left, self.ts_state_right, ts_l, ts_r = \
+            self._render_tick(self.ts_state_left, self.ts_state_right,
+                              self._event_batch(ev_left),
+                              self._event_batch(ev_right),
+                              jnp.asarray(t_sync, jnp.float32))
+        ts_l = ts_l.astype(self.dtype)
+        ts_r = ts_r.astype(self.dtype)
+        out["ts_left"] = ts_l
+        out["ts_right"] = ts_r
+        self.events_since_last_obs = int(np.sum(ev_left["valid"]))
+
+        if gt_pose is not None:
+            self.record_pose(t_sync, gt_pose)
+        elif self.status == SystemStatus.WORKING \
+                and self.stats["map_points"] >= self.cfg.tracker.batch_size:
+            # ---- tracking (esvo_Tracking.cpp:79-160) ----
+            self._key, sub = jax.random.split(self._key)
+            T_est, rms, nsel = self._track(
+                ts_l, jnp.asarray(self.T_world_frame, self.dtype),
+                jnp.asarray(self.T_world_cur, self.dtype),
+                self._map_pts, self._map_ok, sub)
+            self.record_pose(t_sync, np.asarray(T_est, np.float64))
+            out["tracking_rms"] = np.asarray(rms)
+
+        self.traj_times.append(t_sync)
+        self.traj_poses.append(self.T_world_cur.copy())
+
+        if not do_mapping:
+            return out
+
+        T_wf = self.T_world_cur.copy()
+        if self.status == SystemStatus.INITIALIZATION:
+            # ---- SGM bootstrap (esvo_Mapping.cpp:433-492) ----
+            est, n = self._sgm_seed(ts_l, ts_r,
+                                    jnp.asarray(ev_left["x"]),
+                                    jnp.asarray(ev_left["y"]),
+                                    jnp.asarray(ev_left["valid"]),
+                                    jnp.asarray(T_wf, self.dtype))
+            n = int(n)
+            out["sgm_points"] = n
+            if n >= self.cfg.mapping.init_sgm_num_threshold:
+                self._push_history(est)
+                self.T_world_frame = T_wf
+                self.grid, self._map_pts, self._map_ok = \
+                    self._seed_frame(self.history,
+                                     jnp.asarray(T_wf, self.dtype))
+                self.stats["map_points"] = int(jnp.sum(self._map_ok))
+                self.status = SystemStatus.WORKING
+        else:
+            # ---- mapping cycle (esvo_Mapping.cpp:261-431) ----
+            pt_t, pt_T = self._pose_table()
+            est, n = self._map_estimate(
+                ts_l, ts_r, jnp.asarray(ev_left["x"]),
+                jnp.asarray(ev_left["y"]),
+                jnp.asarray(ev_left["t"], self.dtype),
+                jnp.asarray(ev_left["valid"]), pt_t, pt_T,
+                jnp.asarray(T_wf, self.dtype))
+            out["map_estimates"] = int(n)
+            self._push_history(est)
+            self.T_world_frame = T_wf
+            self.grid, self._map_pts, self._map_ok, nf, nd = \
+                self._rebuild_frame(self.history,
+                                    jnp.asarray(T_wf, self.dtype))
+            self.stats["fusions"] += int(nf)
+            self.stats["dropped"] += int(nd)
+            self.stats["map_points"] = int(jnp.sum(self._map_ok))
+            # degrade to INITIALIZATION when the map collapses
+            # (esvo_Tracking.cpp:163-168, RegProblemSolverLM.cpp:45-57)
+            if gt_pose is None and \
+                    self.stats["map_points"] < self.cfg.tracker.batch_size:
+                self.status = SystemStatus.INITIALIZATION
+                self._frames_filled = 0
+        out["map_points"] = self.stats["map_points"]
+        return out
+
+    # ------------------------------------------------------------------
+    # outputs
+    # ------------------------------------------------------------------
+    def trajectory(self):
+        return np.asarray(self.traj_times), np.asarray(self.traj_poses)
+
+    def save_trajectory(self, path: str):
+        """TUM export (esvo_Tracking.cpp:430-462)."""
+        from esvo_tpu.eval.trajectory import save_tum
+        t, T = self.trajectory()
+        save_tum(path, t, T)
+
+    def depth_map(self):
+        """(inv_depth (H, W), valid (H, W)) of the current frame."""
+        return (np.asarray(self.grid.inv_depth),
+                np.asarray(self.grid.occupied))
