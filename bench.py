@@ -83,7 +83,7 @@ def main():
         grid, nfused, _ = fu.fuse_frame(grid, cand, rig.left, fu_cfg)
         return ts_state, history, grid.inv_depth, nfused
 
-    cycle_jit = jax.jit(cycle, donate_argnums=(0, 1))
+    cycle_jit = jax.jit(cycle)
 
     ts_state = tsf.init_state(H, W)
     F = FUSION_WINDOW

@@ -206,10 +206,15 @@ def remap_bilinear(img: jax.Array, map_xy: jax.Array,
     fy = y - y0
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
+    flat = img.reshape(-1)
 
+    # flat 1D gathers: XLA TPU lowers multi-axis advanced indexing of
+    # image-sized index arrays into a pathological gather (minutes of
+    # compile); a single-offset-dim gather is fast.
     def tap(yi, xi, w):
         inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-        v = img[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        v = jnp.take(flat, idx, mode="clip")
         return jnp.where(inb, v, fill) * w
 
     out = (tap(y0i, x0i, (1 - fx) * (1 - fy))

@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from esvo_tpu.geometry.camera import StereoRig, Camera
 from esvo_tpu.surface import time_surface as tsf
@@ -63,7 +63,7 @@ def sharded_surface_update(mesh: Mesh, state: tsf.TimeSurfaceState,
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(EVENT_AXIS)),
-        out_specs=(P(), P()))
+        out_specs=(P(), P()), check_vma=False)
     pos, neg = fn(state.last_t_pos, state.last_t_neg, ev)
     return tsf.TimeSurfaceState(last_t_pos=pos, last_t_neg=neg)
 
@@ -92,7 +92,8 @@ def sharded_map_estimate(mesh: Mesh, rig: StereoRig,
         in_specs=(P(), P(), P(EVENT_AXIS), P(EVENT_AXIS), P(EVENT_AXIS),
                   P(EVENT_AXIS), P(EVENT_AXIS)),
         out_specs=jax.tree.map(lambda _: P(EVENT_AXIS),
-                               dr.DepthEstimates(*([0] * 10))))
+                               dr.DepthEstimates(*([0] * 10))),
+        check_vma=False)
     return fn
 
 
@@ -124,5 +125,5 @@ def sharded_tracking_step(mesh: Mesh, camera: Camera,
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P(EVENT_AXIS),
                   P(EVENT_AXIS)),
-        out_specs=(P(), P()))
+        out_specs=(P(), P()), check_vma=False)
     return fn
