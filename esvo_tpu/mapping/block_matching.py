@@ -34,6 +34,7 @@ from flax import struct
 
 from esvo_tpu.geometry.camera import StereoRig
 from esvo_tpu.surface.time_surface import gaussian_blur
+from esvo_tpu.ops.interp import gather2d, slice_patches
 
 
 @struct.dataclass
@@ -146,17 +147,13 @@ def _match_horizontal(ts_left, ts_right, x_rect, t, valid, mask, rig, cfg,
     inb = valid & (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
     ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 1)
     vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 1)
-    inb = inb & mask[vi, ui]
+    inb = inb & gather2d(mask, vi, ui)
     # patch interior with 1-pixel margin (EventBM.cpp:251-267)
     inb = inb & (ui - hx >= 1) & (vi - hy >= 1) \
         & (ui + hx < W - 1) & (vi + hy < H - 1)
 
     n = x_rect.shape[0]
-    rows = vi[:, None] + jnp.arange(-hy, hy + 1, dtype=jnp.int32)  # (N, wy)
-    rows = jnp.clip(rows, 0, H - 1)
-    cols_l = ui[:, None] + jnp.arange(-hx, hx + 1, dtype=jnp.int32)
-    cols_l = jnp.clip(cols_l, 0, W - 1)
-    patch_l = ts_left[rows[:, :, None], cols_l[:, None, :]]  # (N, wy, wx)
+    patch_l = slice_patches(ts_left, vi - hy, ui - hx, wy, wx)  # (N, wy, wx)
 
     # low info-noise-ratio rejection (EventBM.cpp:104-109)
     dark = jnp.sum((patch_l < 1.0).astype(dtype), axis=(1, 2))
@@ -169,7 +166,14 @@ def _match_horizontal(ts_left, ts_right, x_rect, t, valid, mask, rig, cfg,
     S = wx + D - 1
     cols_s = ui[:, None] - dmax - hx + jnp.arange(S, dtype=jnp.int32)
     strip_ok = (cols_s >= 0) & (cols_s < W)
-    strip = ts_right[rows[:, :, None], jnp.clip(cols_s, 0, W - 1)[:, None, :]]
+    # contiguous (wy, S) block per event; dynamic_slice clamps, so shift
+    # the requested start and mask the shifted-in columns
+    start_x = jnp.clip(ui - dmax - hx, 0, max(W - S, 0))
+    strip = slice_patches(ts_right, vi - hy, start_x, wy, S)
+    # columns may be shifted when the start clamped; rebuild alignment by
+    # rolling each row by the clamp offset
+    off = (ui - dmax - hx) - start_x            # (N,) <= 0 or >= 0
+    strip = jax.vmap(lambda s_, o: jnp.roll(s_, -o, axis=-1))(strip, off)
     strip = jnp.where(strip_ok[:, None, :], strip, 0.0)   # (N, wy, S)
 
     # per-disparity ZNCC cost. disparity d occupies strip columns

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from esvo_tpu.geometry.camera import StereoRig, cam_to_world
-from esvo_tpu.ops.interp import patch_interpolate
+from esvo_tpu.ops.interp import patch_interpolate, slice_patches
 
 
 @struct.dataclass
@@ -59,6 +59,13 @@ class DepthProblemConfig:
         pytree_node=False, default=8)
     # fixed trip count replacing the reference's data-dependent scale loop
     td_fixed_point_iters: int = struct.field(pytree_node=False, default=10)
+    # LM patch sampling: events gather one (patch + 2*margin) window per
+    # surface per cycle; every LM iteration then samples its patch from
+    # the window with bilinear one-hot matmuls (MXU work) instead of
+    # re-gathering from HBM. margin bounds how far the solution may move
+    # from the BM initialization before the residual degrades to the
+    # out-of-bounds penalty; < 0 disables windowing (direct gathers).
+    window_margin: int = struct.field(pytree_node=False, default=8)
 
     @property
     def td_scale_squared(self) -> float:
@@ -180,6 +187,100 @@ def residuals(d, coord, T_left_virtual, ts_left, ts_right,
     return fvec, ok
 
 
+def _warp_positions(d, coord, T_left_virtual, P_left, P_right):
+    """Projections of the event into both surfaces at inverse depth d
+    (DepthProblem::warping geometry, DepthProblem.cpp:162-191)."""
+    p_rv = cam_to_world(P_left, coord, d)
+    p_left = T_left_virtual[:3, :3] @ p_rv + T_left_virtual[:3, 3]
+    x1h = P_left[:, :3] @ p_left + P_left[:, 3]
+    x2h = P_right[:, :3] @ p_left + P_right[:, 3]
+    return x1h[:2] / x1h[2], x2h[:2] / x2h[2]
+
+
+def _window_patch(win, oy_org, ox_org, x, wy, wx, Wy, Wx):
+    """Bilinearly sample a (wy, wx) patch centred at sub-pixel x from a
+    pre-gathered (Wy, Wx) window whose origin is (oy_org, ox_org).
+
+    The sample is two tiny matmuls patch = A @ win @ B^T with one-hot
+    bilinear row/column matrices — no gathers inside the LM loop. Exactly
+    equivalent to the reference's patchInterpolation while the source
+    patch stays inside the window.
+    """
+    hy = (wy - 1) // 2
+    hx = (wx - 1) // 2
+    u, v = x[0], x[1]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fx = u - u0
+    fy = v - v0
+    oy = v0.astype(jnp.int32) - hy - oy_org
+    ox = u0.astype(jnp.int32) - hx - ox_org
+    ok = (oy >= 0) & (ox >= 0) & (oy + wy + 1 <= Wy) & (ox + wx + 1 <= Wx)
+    jr = jnp.arange(wy, dtype=jnp.int32)[:, None]
+    c = jnp.arange(Wy, dtype=jnp.int32)[None, :]
+    A = jnp.where(c == oy + jr, 1.0 - fy, 0.0) \
+        + jnp.where(c == oy + jr + 1, fy, 0.0)          # (wy, Wy)
+    ic = jnp.arange(wx, dtype=jnp.int32)[:, None]
+    c2 = jnp.arange(Wx, dtype=jnp.int32)[None, :]
+    B = jnp.where(c2 == ox + ic, 1.0 - fx, 0.0) \
+        + jnp.where(c2 == ox + ic + 1, fx, 0.0)         # (wx, Wx)
+    patch = A @ win @ B.T
+    return patch, ok
+
+
+def residuals_windowed(d, coord, T_left_virtual, win1, win2, org1, org2,
+                       P_left, P_right, width: int, height: int,
+                       cfg: DepthProblemConfig):
+    """Residual vector like `residuals`, sampling from per-event windows.
+
+    org1/org2: (2,) int32 (oy, ox) window origins. Identical to the
+    reference semantics while the patch stays within the window; a
+    solution that wanders past the margin gets the out-of-bounds penalty
+    (DepthProblem.cpp:44-59) — in the reference such far excursions are
+    instead sampled from the full image, but they only occur on diverging
+    events that the subsequent culling drops either way.
+    """
+    wx, wy = cfg.patch_size_x, cfg.patch_size_y
+    P = wx * wy
+    Wy, Wx = win1.shape
+    dtype = win1.dtype
+
+    x1, x2 = _warp_positions(d, coord, T_left_virtual, P_left, P_right)
+    bx = (wx - 1) // 2
+    by = (wy - 1) // 2
+    ok_warp = ((x1[0] >= bx) & (x1[0] <= width - bx)
+               & (x1[1] >= by) & (x1[1] <= height - by)
+               & (x2[0] >= bx) & (x2[0] <= width - bx)
+               & (x2[1] >= by) & (x2[1] <= height - by))
+    tau1, ok1 = _window_patch(win1, org1[0], org1[1], x1, wy, wx, Wy, Wx)
+    tau2, ok2 = _window_patch(win2, org2[0], org2[1], x2, wy, wx, Wy, Wx)
+    ok = ok_warp & ok1 & ok2
+
+    r_raw = (tau1 - tau2).reshape(P)
+    r = jnp.where(ok, r_raw, jnp.asarray(255.0, dtype))
+    if cfg.ls_norm == "l2":
+        fvec = r
+    elif cfg.ls_norm == "zncc":
+        mu1 = jnp.mean(tau1)
+        mu2 = jnp.mean(tau2)
+        s1 = jnp.sqrt(jnp.mean((tau1 - mu1) ** 2)) + 1e-6
+        s2 = jnp.sqrt(jnp.mean((tau2 - mu2) ** 2)) + 1e-6
+        z = ((tau1 - mu1) / s1 - (tau2 - mu2) / s2).reshape(P) \
+            / math.sqrt(P)
+        fvec = jnp.where(ok, z, jnp.asarray(2.0 / math.sqrt(P), dtype))
+    elif cfg.ls_norm == "Tdist":
+        nu = cfg.td_nu
+        w_valid = _tdist_weights(r_raw, r_raw * r_raw, nu,
+                                 cfg.td_scale_squared,
+                                 cfg.td_fixed_point_iters)
+        w_oob = (nu + 1.0) / (nu + (255.0 / cfg.td_scale) ** 2)
+        w = jnp.where(ok, w_valid, jnp.asarray(w_oob, dtype))
+        fvec = jnp.sqrt(w) * r
+    else:
+        raise ValueError(f"unsupported LSnorm: {cfg.ls_norm}")
+    return fvec, ok
+
+
 def solve(matches_x: jax.Array, T_world_virtual: jax.Array,
           T_left_virtual: jax.Array, d_init: jax.Array, valid: jax.Array,
           t_event: jax.Array, ts_left: jax.Array, ts_right: jax.Array,
@@ -203,19 +304,58 @@ def solve(matches_x: jax.Array, T_world_virtual: jax.Array,
     m = cfg.patch_area
     dtype = ts_left.dtype
 
-    def fvec_of(d, coord, T_lv):
-        f, ok = residuals(d, coord, T_lv, ts_left, ts_right, P_left, P_right,
-                          W, H, cfg)
-        return f, ok
+    if cfg.window_margin >= 0:
+        # pre-gather one window per surface per event around the initial
+        # warp positions; LM iterations then never touch HBM
+        wy, wx = cfg.patch_size_y, cfg.patch_size_x
+        mg = cfg.window_margin
+        Wy, Wx = wy + 1 + 2 * mg, wx + 1 + 2 * mg
+        x1_0, x2_0 = jax.vmap(_warp_positions,
+                              in_axes=(0, 0, 0, None, None))(
+            jnp.asarray(d_init, dtype), matches_x, T_left_virtual,
+            P_left, P_right)
 
-    def fvec_and_jac(d, coord, T_lv):
-        (f, ok), (jf, _) = jax.jvp(lambda dd: fvec_of(dd, coord, T_lv),
-                                   (d,), (jnp.ones_like(d),))
-        return f, jf, ok
+        def origin(x):
+            oy = jnp.floor(x[:, 1]).astype(jnp.int32) - (wy - 1) // 2 - mg
+            ox = jnp.floor(x[:, 0]).astype(jnp.int32) - (wx - 1) // 2 - mg
+            oy = jnp.clip(oy, 0, max(H - Wy, 0))
+            ox = jnp.clip(ox, 0, max(W - Wx, 0))
+            return jnp.stack([oy, ox], axis=1)
 
-    batch_fj = jax.vmap(fvec_and_jac, in_axes=(0, 0, 0))
-    batch_f = jax.vmap(lambda d, c, T: fvec_of(d, c, T)[0],
-                       in_axes=(0, 0, 0))
+        org1 = origin(x1_0)
+        org2 = origin(x2_0)
+        win1 = slice_patches(ts_left, org1[:, 0], org1[:, 1], Wy, Wx)
+        win2 = slice_patches(ts_right, org2[:, 0], org2[:, 1], Wy, Wx)
+
+        def fvec_one(d, coord, T_lv, w1, w2, o1, o2):
+            return residuals_windowed(d, coord, T_lv, w1, w2, o1, o2,
+                                      P_left, P_right, W, H, cfg)
+
+        def fj_one(d, coord, T_lv, w1, w2, o1, o2):
+            (f, ok), (jf, _) = jax.jvp(
+                lambda dd: fvec_one(dd, coord, T_lv, w1, w2, o1, o2),
+                (d,), (jnp.ones_like(d),))
+            return f, jf, ok
+
+        _fj = jax.vmap(fj_one, in_axes=(0, 0, 0, 0, 0, 0, 0))
+        _f = jax.vmap(lambda *a: fvec_one(*a)[0],
+                      in_axes=(0, 0, 0, 0, 0, 0, 0))
+        batch_fj = lambda d, xc, T: _fj(d, xc, T, win1, win2, org1, org2)
+        batch_f = lambda d, xc, T: _f(d, xc, T, win1, win2, org1, org2)
+    else:
+        def fvec_of(d, coord, T_lv):
+            f, ok = residuals(d, coord, T_lv, ts_left, ts_right, P_left,
+                              P_right, W, H, cfg)
+            return f, ok
+
+        def fvec_and_jac(d, coord, T_lv):
+            (f, ok), (jf, _) = jax.jvp(lambda dd: fvec_of(dd, coord, T_lv),
+                                       (d,), (jnp.ones_like(d),))
+            return f, jf, ok
+
+        batch_fj = jax.vmap(fvec_and_jac, in_axes=(0, 0, 0))
+        batch_f = jax.vmap(lambda d, c, T: fvec_of(d, c, T)[0],
+                           in_axes=(0, 0, 0))
 
     d = jnp.asarray(d_init, dtype)
     lam = jnp.full(d.shape, 1e-3, dtype)

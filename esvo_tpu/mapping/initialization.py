@@ -30,6 +30,7 @@ from flax import struct
 from esvo_tpu.geometry.camera import StereoRig, cam_to_world
 from esvo_tpu.mapping.depth_refinement import DepthEstimates
 from esvo_tpu.surface.time_surface import median_blur_3x3
+from esvo_tpu.ops.interp import gather2d
 
 
 @struct.dataclass
@@ -178,7 +179,8 @@ def select_denoised(x_raw: jax.Array, y_raw: jax.Array, valid: jax.Array,
     """Keep the first `max_num` events whose raw pixel survives the mask
     (extractDenoisedEvents, esvo_Mapping.cpp:1059-1072)."""
     H, W = mask.shape
-    ok = valid & mask[jnp.clip(y_raw, 0, H - 1), jnp.clip(x_raw, 0, W - 1)]
+    ok = valid & gather2d(mask, jnp.clip(y_raw, 0, H - 1),
+                          jnp.clip(x_raw, 0, W - 1))
     rank = jnp.cumsum(ok.astype(jnp.int32))
     return ok & (rank <= max_num)
 
@@ -199,8 +201,8 @@ def sgm_depth_points(ts_left: jax.Array, ts_right: jax.Array,
     yi = jnp.clip(jnp.floor(x_rect[:, 1]).astype(jnp.int32), 0, H - 1)
     inb = ev_valid & (x_rect[:, 0] >= 0) & (x_rect[:, 0] < W) \
         & (x_rect[:, 1] >= 0) & (x_rect[:, 1] < H)
-    d = disp[yi, xi]
-    ok = inb & dvalid[yi, xi] & (d > 0)
+    d = gather2d(disp, yi, xi)
+    ok = inb & gather2d(dvalid, yi, xi) & (d > 0)
 
     fx = rig.left.params.P[0, 0]
     inv_depth = d / (fx * rig.baseline)

@@ -57,6 +57,14 @@ class SystemStatus(enum.Enum):
     TERMINATE = "TERMINATE"
 
 
+def _lut_lookup(lut, y, x, H, W):
+    from esvo_tpu.ops.interp import gather2d
+    yi = jnp.clip(y, 0, H - 1)
+    xi = jnp.clip(x, 0, W - 1)
+    return jnp.stack([gather2d(lut[..., 0], yi, xi),
+                      gather2d(lut[..., 1], yi, xi)], axis=-1)
+
+
 def _tree_stack_slot(history, est, slot):
     return jax.tree.map(
         lambda h, e: h.at[slot].set(e.astype(h.dtype)), history, est)
@@ -156,8 +164,7 @@ class EsvoSystem:
         @jax.jit
         def sgm_seed(ts_l, ts_r, ev_x, ev_y, ev_valid, T_world_frame):
             ev_valid, ev_x, ev_y = compact(ev_valid, ev_x, ev_y)
-            x_rect = rig.left.lut[jnp.clip(ev_y, 0, H - 1),
-                                  jnp.clip(ev_x, 0, W - 1)]
+            x_rect = _lut_lookup(rig.left.lut, ev_y, ev_x, H, W)
             est = init.sgm_depth_points(
                 ts_l, ts_r, x_rect, ev_valid, T_world_frame, rig, cfg.sgm,
                 cfg.mapping.inv_depth_min_range,
@@ -176,8 +183,7 @@ class EsvoSystem:
                 ev_valid = init.select_denoised(
                     ev_x, ev_y, ev_valid, mask, cfg.mapping.process_event_num)
             ev_valid, ev_x, ev_y, ev_t = compact(ev_valid, ev_x, ev_y, ev_t)
-            x_rect = rig.left.lut[jnp.clip(ev_y, 0, H - 1),
-                                  jnp.clip(ev_x, 0, W - 1)]
+            x_rect = _lut_lookup(rig.left.lut, ev_y, ev_x, H, W)
             # per-event virtual-view pose
             T_wv = interpolate_pose_table(pose_times, pose_tab,
                                           ev_t.astype(pose_tab.dtype))

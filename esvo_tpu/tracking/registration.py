@@ -33,7 +33,7 @@ from flax import struct
 
 from esvo_tpu.geometry.camera import Camera
 from esvo_tpu.geometry.se3 import cayley_to_rot, orthonormalize_rotation
-from esvo_tpu.ops.interp import patch_interpolate
+from esvo_tpu.ops.interp import patch_interpolate, gather2d
 from esvo_tpu.surface.time_surface import gaussian_blur, sobel_x, sobel_y
 
 
@@ -126,8 +126,8 @@ def _project_and_check(p_left: jax.Array, camera: Camera,
     m = camera.mask
     for dy in (-hy, hy):
         for dx in (-hx, hx):
-            ok = ok & m[jnp.clip(vi + dy, 0, H - 1),
-                        jnp.clip(ui + dx, 0, W - 1)]
+            ok = ok & gather2d(m, jnp.clip(vi + dy, 0, H - 1),
+                               jnp.clip(ui + dx, 0, W - 1))
             if hx == 0 and hy == 0:
                 break
         if hx == 0 and hy == 0:
