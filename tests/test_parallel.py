@@ -1,0 +1,118 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh:
+the sharded programs must match their serial counterparts exactly."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from esvo_tpu.geometry.camera import make_ideal_rig
+from esvo_tpu.surface import time_surface as tsf
+from esvo_tpu.mapping import block_matching as bm
+from esvo_tpu.mapping import depth_refinement as dr
+from esvo_tpu.tracking import registration as reg
+from esvo_tpu.parallel import sharding as ps
+
+W, H = 64, 48
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= N_DEV, "conftest must provide 8 devices"
+    return ps.make_mesh(N_DEV)
+
+
+def rig():
+    return make_ideal_rig(W, H, 50.0, 50.0, W / 2 - 0.5, H / 2 - 0.5, 0.1,
+                          dtype=jnp.float32)
+
+
+def test_sharded_surface_update_matches_serial(mesh):
+    rng = np.random.default_rng(0)
+    N = 64 * N_DEV
+    ev = tsf.EventBatch.from_arrays(
+        rng.integers(0, W, N), rng.integers(0, H, N),
+        np.sort(rng.uniform(0, 0.01, N)).astype(np.float32),
+        rng.random(N) > 0.5)
+    state = tsf.init_state(H, W)
+    serial = tsf.insert_events(state, ev)
+    shard = ps.sharded_surface_update(mesh, state, ev)
+    np.testing.assert_array_equal(np.asarray(serial.last_t_pos),
+                                  np.asarray(shard.last_t_pos))
+    np.testing.assert_array_equal(np.asarray(serial.last_t_neg),
+                                  np.asarray(shard.last_t_neg))
+
+
+def test_sharded_map_estimate_matches_serial(mesh):
+    rng = np.random.default_rng(1)
+    r = rig()
+    N = 32 * N_DEV
+    base = rng.uniform(0, 255, size=(H, W + 16)).astype(np.float32)
+    ts_l = jnp.asarray(base[:, 8:8 + W])
+    ts_r = jnp.asarray(base[:, 12:12 + W])
+    x_rect = jnp.asarray(np.stack([rng.uniform(10, W - 10, N),
+                                   rng.uniform(10, H - 10, N)], 1),
+                         jnp.float32)
+    t = jnp.asarray(np.sort(rng.uniform(0, 0.01, N)), jnp.float32)
+    v = jnp.ones(N, bool)
+    T = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (N, 4, 4))
+    bm_cfg = bm.BlockMatchConfig(patch_size_x=5, patch_size_y=5,
+                                 max_disparity=8)
+    dp_cfg = dr.DepthProblemConfig(patch_size_x=5, patch_size_y=5,
+                                   max_iteration=3, td_fixed_point_iters=5)
+
+    matches = bm.match_events(ts_l, ts_r, x_rect, x_rect, t, v,
+                              r.left.mask, r, bm_cfg)
+    serial = dr.solve(matches.x_left, T, T, matches.inv_depth,
+                      matches.valid, t, ts_l, ts_r, r, dp_cfg)
+
+    fn = ps.sharded_map_estimate(mesh, r, bm_cfg, dp_cfg)
+    shard = fn(ts_l, ts_r, x_rect, t, v, T, T)
+
+    np.testing.assert_allclose(np.asarray(serial.inv_depth),
+                               np.asarray(shard.inv_depth), rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(serial.valid),
+                                  np.asarray(shard.valid))
+
+
+def test_sharded_tracking_step_matches_serial(mesh):
+    rng = np.random.default_rng(2)
+    r = rig()
+    M = 16 * N_DEV
+    cfg = reg.RegProblemConfig(kernel_size=0, lm_damping=1e-3)
+    img = (0.7 * np.arange(W)[None, :] - 0.3 * np.arange(H)[:, None]
+           + 100.0).astype(np.float32)
+    neg, gu, gv = reg.negative_time_surface(jnp.asarray(img), 0)
+    pts = jnp.asarray(np.stack([rng.uniform(-0.2, 0.2, M),
+                                rng.uniform(-0.15, 0.15, M),
+                                rng.uniform(0.8, 1.5, M)], 1), jnp.float32)
+    ok = jnp.ones(M, bool)
+    R = jnp.eye(3, dtype=jnp.float32)
+    t = jnp.zeros(3, jnp.float32)
+    Twr = jnp.eye(4, dtype=jnp.float32)
+
+    # serial normal equations
+    prob = reg.RegProblem(R=R, t=t, T_world_ref=Twr, points=pts,
+                          point_valid=ok, ts_negative=neg, grad_u=gu,
+                          grad_v=gv)
+    fvec, _, _ = reg.residuals_and_weights(prob, jnp.zeros(3 + 3), pts, ok,
+                                           r.left, cfg)
+    J = reg.analytic_jacobian(prob, pts, ok, r.left, cfg)
+    f = fvec.reshape(-1)
+    Hm = J.T @ J
+    g = J.T @ f
+    damp = cfg.lm_damping * jnp.diag(jnp.diag(Hm)) \
+        + 1e-12 * jnp.eye(6, dtype=jnp.float32)
+    dx_serial = -jnp.linalg.solve(Hm + damp, g)
+
+    fn = ps.sharded_tracking_step(mesh, r.left, cfg)
+    dx_shard, cost = fn(R, t, Twr, neg, gu, gv, pts, ok)
+
+    # the psum'd reductions match up to f32 summation-order noise; the
+    # 6x6 solve amplifies that by the condition number, so dx gets a
+    # correspondingly looser bound
+    np.testing.assert_allclose(float(jnp.sum(f * f)), float(cost),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dx_serial), np.asarray(dx_shard),
+                               rtol=0.1, atol=1e-3)
