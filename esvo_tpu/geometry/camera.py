@@ -251,6 +251,25 @@ def make_camera(params: PinholeParams) -> Camera:
 # projection (rectified frame)
 # ---------------------------------------------------------------------------
 
+def inv3(A: jax.Array) -> jax.Array:
+    """Closed-form adjugate inverse of a 3x3 matrix.
+
+    jnp.linalg.inv lowers to an LU custom call on TPU that cannot fuse and
+    costs a kernel launch per use — on the hot path (cam_to_world inside
+    the fusion fold) that dominated the whole stage.
+    """
+    a, b, c = A[0, 0], A[0, 1], A[0, 2]
+    d, e, f = A[1, 0], A[1, 1], A[1, 2]
+    g, h, i = A[2, 0], A[2, 1], A[2, 2]
+    co = jnp.array([
+        [e * i - f * h, c * h - b * i, b * f - c * e],
+        [f * g - d * i, a * i - c * g, c * d - a * f],
+        [d * h - e * g, b * g - a * h, a * e - b * d],
+    ])
+    det = a * co[0, 0] + b * co[1, 0] + c * co[2, 0]
+    return co / det
+
+
 def cam_to_world(P: jax.Array, x: jax.Array, inv_depth) -> jax.Array:
     """Back-project rectified pixels x (..., 2) at inverse depth (...,) to
     3D points (..., 3) in the camera frame.
@@ -267,7 +286,7 @@ def cam_to_world(P: jax.Array, x: jax.Array, inv_depth) -> jax.Array:
     ones = jnp.ones_like(x[..., :1])
     xh = jnp.concatenate([x, ones], axis=-1)
     rhs = z[..., None] * xh - b
-    Ainv = jnp.linalg.inv(A)
+    Ainv = inv3(A)
     return jnp.einsum("ij,...j->...i", Ainv, rhs, precision="highest")
 
 

@@ -203,7 +203,11 @@ def interpolate_pose_table(times: jax.Array, poses: jax.Array,
     Queries outside the table clamp to the end poses.
     """
     S = times.shape[0]
-    hi = jnp.clip(jnp.searchsorted(times, query_t, side="left"), 1, S - 1)
+    # method='compare_all': the default 'scan' lowers to a serialized
+    # while loop on TPU; the table is small, so S comparisons per query
+    # vectorize better
+    hi = jnp.clip(jnp.searchsorted(times, query_t, side="left",
+                                   method="compare_all"), 1, S - 1)
     lo = hi - 1
     T0 = poses[lo]
     T1 = poses[hi]

@@ -176,22 +176,27 @@ def _match_horizontal(ts_left, ts_right, x_rect, t, valid, mask, rig, cfg,
     strip = jax.vmap(lambda s_, o: jnp.roll(s_, -o, axis=-1))(strip, off)
     strip = jnp.where(strip_ok[:, None, :], strip, 0.0)   # (N, wy, S)
 
-    # per-disparity ZNCC cost. disparity d occupies strip columns
-    # [dmax - d, dmax - d + wx)
-    costs = []
-    valid_d = []
-    for d in range(dmin, dmax + 1):
-        o = dmax - d
-        patch_r = strip[:, :, o:o + wx]
-        # patch validity: x2 = x1 - d must satisfy the interior test
-        ok_d = (ui - d - hx >= 1) & (ui - d + hx < W - 1)
-        patch_r_n = _normalize(patch_r, axis=(1, 2))
-        ncc = jnp.mean(patch_l_n * patch_r_n, axis=(1, 2))
-        cost = 0.5 * (1.0 - ncc)
-        costs.append(jnp.where(ok_d, cost, 1.0))
-        valid_d.append(ok_d)
-    cost_vol = jnp.stack(costs, axis=1)       # (N, D)
-    ok_vol = jnp.stack(valid_d, axis=1)       # (N, D)
+    # per-disparity ZNCC cost, all disparities at once: disparity d
+    # occupies strip columns [dmax - d, dmax - d + wx). With the left
+    # patch zero-mean normalized, mean(pl_n * zn(w)) reduces to
+    # (sum pl_n . w) / (P * sigma_w) — one einsum for the numerator plus
+    # windowed moment sums; no per-disparity loop bodies.
+    P_area = wx * wy
+    windows = jnp.stack([strip[:, :, dmax - d:dmax - d + wx]
+                         for d in range(dmin, dmax + 1)], axis=1)
+    # (N, D, wy, wx)
+    sum_r = jnp.sum(windows, axis=(-2, -1))
+    sumsq_r = jnp.sum(windows * windows, axis=(-2, -1))
+    mean_r = sum_r / P_area
+    var_r = jnp.maximum(sumsq_r / P_area - mean_r * mean_r, 0.0)
+    sigma_r = jnp.sqrt(var_r) + 1e-6
+    num = jnp.einsum("nyx,ndyx->nd", patch_l_n, windows,
+                     preferred_element_type=dtype)
+    ncc = num / (P_area * sigma_r)
+    cost_raw = 0.5 * (1.0 - ncc)
+    ds = jnp.arange(dmin, dmax + 1, dtype=jnp.int32)[None, :]
+    ok_vol = (ui[:, None] - ds - hx >= 1) & (ui[:, None] - ds + hx < W - 1)
+    cost_vol = jnp.where(ok_vol, cost_raw, 1.0)       # (N, D)
 
     best = jnp.argmin(cost_vol, axis=1)
     best_cost = jnp.take_along_axis(cost_vol, best[:, None], axis=1)[:, 0]

@@ -61,7 +61,7 @@ def match_events_temporal(
     # temporal window -> contiguous candidate indices
     # (EventMatcher.cpp:66-89)
     lo = jnp.searchsorted(right_t, left_t - cfg.time_threshold / 2,
-                          side="left")
+                          side="left", method="sort")
     idx = lo[:, None] + jnp.arange(K, dtype=lo.dtype)[None, :]   # (N, K)
     M = right_t.shape[0]
     in_range = idx < M

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from esvo_tpu.geometry.camera import Camera, cam_to_world, world_to_cam
+from esvo_tpu.geometry.camera import Camera, cam_to_world, world_to_cam, inv3
 from esvo_tpu.mapping.depth_refinement import DepthEstimates
 
 EMPTY = -1.0
@@ -162,6 +162,22 @@ def _splat(cand: Candidates, height: int, width: int,
     return tiled, pix.reshape(-1)
 
 
+def _segment_rank(sorted_ids: jax.Array) -> jax.Array:
+    """rank[i] = i - (first index of sorted_ids[i]'s segment).
+
+    Computed with a cummax over segment-start positions — searchsorted's
+    'scan' lowering is a serialized while loop on TPU (~8 ms at 65k keys);
+    this is one associative scan.
+    """
+    n = sorted_ids.shape[0]
+    ar = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool),
+                                sorted_ids[1:] != sorted_ids[:-1]])
+    start_pos = jnp.where(is_start, ar, 0)
+    seg_start = jax.lax.cummax(start_pos)
+    return ar - seg_start
+
+
 def _student_t_update(invD_a, scale2_a, nu_a, invD_b, scale2_b, nu_b):
     """Student-t posterior of (a <- b) (DepthPoint::update_studentT,
     container/DepthPoint.cpp:167-188). Returns (invD, scale2, nu, var)."""
@@ -197,107 +213,139 @@ def fuse_frame(grid: DepthGrid, cand: Candidates, camera: Camera,
     order = o1[o2]
 
     pix_sorted = pix_key[o2]
-    first = jnp.searchsorted(pix_sorted, pix_sorted, side="left")
-    rank = jnp.arange(M, dtype=jnp.int32) - first.astype(jnp.int32)
+    rank = _segment_rank(pix_sorted)
     keep = (pix_sorted < H * W) & (rank < K)
     num_dropped = jnp.sum((pix_sorted < H * W) & (rank >= K))
 
-    slot_idx = jnp.where(keep, pix_sorted * K + rank, H * W * K)
-
-    def to_slots(a_sorted, fill):
-        shape = (H * W * K,) + a_sorted.shape[1:]
-        buf = jnp.full(shape, fill, a_sorted.dtype)
-        return buf.at[slot_idx].set(a_sorted, mode="drop") \
-                  .reshape((H, W, K) + a_sorted.shape[1:])
-
-    sl = Candidates(
-        inv_depth=to_slots(tiled.inv_depth[order], 0.0),
-        variance=to_slots(tiled.variance[order], 0.0),
-        scale2=to_slots(tiled.scale2[order], 0.0),
-        nu=to_slots(tiled.nu[order], 0.0),
-        residual=to_slots(tiled.residual[order], 0.0),
-        age=to_slots(tiled.age[order], 0),
-        x=to_slots(tiled.x[order], 0.0),
-        p_cam=to_slots(tiled.p_cam[order], 0.0),
-        valid=to_slots(tiled.valid[order], False),
-    )
+    # K-major slot index: channel buffers come out as (K, H, W), so the
+    # fold reads dense (H, W) planes with no relayout (a pixel-major
+    # (H, W, K, C) buffer forces either strided plane reads or a
+    # pathological materialized transpose)
+    slot_idx = jnp.where(keep, rank * (H * W) + pix_sorted, H * W * K)
+    dt = tiled.inv_depth.dtype
+    packed = jnp.concatenate([
+        tiled.inv_depth[order, None], tiled.variance[order, None],
+        tiled.scale2[order, None], tiled.nu[order, None],
+        tiled.residual[order, None],
+        tiled.age[order, None].astype(dt),
+        tiled.x[order], tiled.p_cam[order],
+        tiled.valid[order, None].astype(dt),
+    ], axis=1)                                         # (M, 12)
+    C = packed.shape[1]
+    buf = jnp.zeros((H * W * K, C), dt)
+    buf = buf.at[slot_idx].set(packed, mode="drop") \
+             .reshape(K, H, W, C)
 
     P = camera.params.P
     tdist = cfg.ls_norm == "Tdist"
     num_fused = jnp.zeros((), jnp.int32)
 
-    for k in range(K):
-        c_invD = sl.inv_depth[..., k]
-        c_var = sl.variance[..., k]
-        c_s2 = sl.scale2[..., k]
-        c_nu = sl.nu[..., k]
-        c_res = sl.residual[..., k]
-        c_age = sl.age[..., k]
-        c_x = sl.x[..., k, :]
-        c_p = sl.p_cam[..., k, :]
-        c_ok = sl.valid[..., k]
+    # The fold runs on (H, W) channel PLANES: on TPU an (H, W, 3) array
+    # tiles its minor dim into the 128-lane axis (42x wasted bandwidth);
+    # per-plane math keeps every op dense. Reassemble at the end.
+    g = {
+        "invD": grid.inv_depth, "var": grid.variance, "s2": grid.scale2,
+        "nu": grid.nu, "res": grid.residual, "age": grid.age,
+        "x0": grid.x[..., 0], "x1": grid.x[..., 1],
+        "p0": grid.p_cam[..., 0], "p1": grid.p_cam[..., 1],
+        "p2": grid.p_cam[..., 2],
+    }
+    Ainv = inv3(P[:, :3])
+    b = P[:, 3]
 
-        occ = grid.occupied
+    def back_project_planes(x0, x1, invD):
+        """cam_to_world on planes: p = Ainv (z*[u,v,1] - b)."""
+        z = 1.0 / invD
+        r0 = z * x0 - b[0]
+        r1 = z * x1 - b[1]
+        r2 = z - b[2]
+        return (Ainv[0, 0] * r0 + Ainv[0, 1] * r1 + Ainv[0, 2] * r2,
+                Ainv[1, 0] * r0 + Ainv[1, 1] * r1 + Ainv[1, 2] * r2,
+                Ainv[2, 0] * r0 + Ainv[2, 1] * r1 + Ainv[2, 2] * r2)
+
+    for k in range(K):
+        c_invD = buf[k, :, :, 0]
+        c_var = buf[k, :, :, 1]
+        c_s2 = buf[k, :, :, 2]
+        c_nu = buf[k, :, :, 3]
+        c_res = buf[k, :, :, 4]
+        c_age = buf[k, :, :, 5].astype(jnp.int32)
+        c_x0 = buf[k, :, :, 6]
+        c_x1 = buf[k, :, :, 7]
+        c_p0 = buf[k, :, :, 8]
+        c_p1 = buf[k, :, :, 9]
+        c_p2 = buf[k, :, :, 10]
+        c_ok = buf[k, :, :, 11] > 0.5
+
+        occ = g["invD"] > -1e-6
         # --- case 1: empty cell -> insert at pixel centre
         # (DepthFusion.cpp:127-146)
         ins = c_ok & ~occ
-        p_center = cam_to_world(P, grid.x, c_invD)   # grid.x is the centre
+        pc0, pc1, pc2 = back_project_planes(g["x0"], g["x1"],
+                                            jnp.maximum(c_invD, 1e-12))
         # --- case 2: occupied -> compatibility test
         if tdist:
-            std_g = jnp.sqrt(jnp.maximum(grid.variance, 0.0))
+            std_g = jnp.sqrt(jnp.maximum(g["var"], 0.0))
             std_c = jnp.sqrt(jnp.maximum(c_var, 0.0))
-            diff = jnp.abs(c_invD - grid.inv_depth)
+            diff = jnp.abs(c_invD - g["invD"])
             compat = (diff < 2.0 * std_g) | (diff < 2.0 * std_c)
         else:
-            d2 = (c_invD - grid.inv_depth) ** 2
+            d2 = (c_invD - g["invD"]) ** 2
             compat = (d2 / jnp.maximum(c_var, 1e-20)
-                      + d2 / jnp.maximum(grid.variance, 1e-20)) < 5.99
+                      + d2 / jnp.maximum(g["var"], 1e-20)) < 5.99
         fuse = c_ok & occ & compat
 
         if tdist:
             f_invD, f_s2, f_nu, f_var = _student_t_update(
-                grid.inv_depth, grid.scale2, grid.nu, c_invD, c_s2, c_nu)
-            f_age = grid.age + 2   # update_studentT age_++ AND fusion age()++
+                g["invD"], g["s2"], g["nu"], c_invD, c_s2, c_nu)
+            f_age = g["age"] + 2   # update_studentT age_++ AND fusion age()++
         else:
-            vsum = grid.variance + c_var
-            f_invD = (grid.variance * c_invD + c_var * grid.inv_depth) / vsum
-            f_var = grid.variance * c_var / vsum
+            vsum = g["var"] + c_var
+            f_invD = (g["var"] * c_invD + c_var * g["invD"]) / vsum
+            f_var = g["var"] * c_var / vsum
             f_s2 = f_var
-            f_nu = grid.nu
-            f_age = grid.age + 1
+            f_nu = g["nu"]
+            f_age = g["age"] + 1
         f_var = jnp.maximum(f_var, 1e-6)
-        f_res = jnp.minimum(grid.residual, c_res)
-        # p_cam refresh at the *fused pixel's* coordinate with the
-        # candidate's inverse depth (DepthFusion.cpp:173-175)
-        p_fused = cam_to_world(P, grid.x, c_invD)
+        f_res = jnp.minimum(g["res"], c_res)
 
         # --- case 2.2: incompatible -> occlusion check then replace
-        occluded = (grid.inv_depth
-                    - 2.0 * jnp.sqrt(jnp.maximum(grid.variance, 0.0))
-                    ) > c_invD
+        occluded = (g["invD"]
+                    - 2.0 * jnp.sqrt(jnp.maximum(g["var"], 0.0))) > c_invD
         repl = (c_ok & occ & ~compat & ~occluded
-                & (c_var < grid.variance) & (c_res < grid.residual))
+                & (c_var < g["var"]) & (c_res < g["res"]))
 
         def pick(ins_v, fuse_v, repl_v, keep_v):
-            out = jnp.where(_bcast(ins, ins_v), ins_v, keep_v)
-            out = jnp.where(_bcast(fuse, fuse_v), fuse_v, out)
-            return jnp.where(_bcast(repl, repl_v), repl_v, out)
+            out = jnp.where(ins, ins_v, keep_v)
+            out = jnp.where(fuse, fuse_v, out)
+            return jnp.where(repl, repl_v, out)
 
-        grid = DepthGrid(
-            inv_depth=pick(c_invD, f_invD, c_invD, grid.inv_depth),
-            variance=pick(jnp.maximum(c_var, 1e-6), f_var, c_var,
-                          grid.variance),
-            scale2=pick(c_s2, f_s2, c_s2, grid.scale2),
-            nu=pick(c_nu, f_nu, c_nu, grid.nu),
-            residual=pick(c_res, f_res, c_res, grid.residual),
-            age=pick(c_age, f_age, c_age, grid.age),
+        g = {
+            "invD": pick(c_invD, f_invD, c_invD, g["invD"]),
+            "var": pick(jnp.maximum(c_var, 1e-6), f_var, c_var, g["var"]),
+            "s2": pick(c_s2, f_s2, c_s2, g["s2"]),
+            "nu": pick(c_nu, f_nu, c_nu, g["nu"]),
+            "res": pick(c_res, f_res, c_res, g["res"]),
+            "age": pick(c_age, f_age, c_age, g["age"]),
             # insert keeps the pixel-centre x; replace adopts the
             # candidate's sub-pixel x (DepthFusion.cpp:186)
-            x=pick(grid.x, grid.x, c_x, grid.x),
-            p_cam=pick(p_center, p_fused, c_p, grid.p_cam),
-        )
+            "x0": pick(g["x0"], g["x0"], c_x0, g["x0"]),
+            "x1": pick(g["x1"], g["x1"], c_x1, g["x1"]),
+            # p_cam: insert/fuse re-back-project at the cell's coordinate
+            # with the candidate depth (DepthFusion.cpp:141-143,173-175);
+            # replace adopts the candidate's propagated point
+            "p0": pick(pc0, pc0, c_p0, g["p0"]),
+            "p1": pick(pc1, pc1, c_p1, g["p1"]),
+            "p2": pick(pc2, pc2, c_p2, g["p2"]),
+        }
         num_fused = num_fused + jnp.sum(fuse)
 
+    grid = DepthGrid(
+        inv_depth=g["invD"], variance=g["var"], scale2=g["s2"], nu=g["nu"],
+        residual=g["res"], age=g["age"],
+        x=jnp.stack([g["x0"], g["x1"]], axis=-1),
+        p_cam=jnp.stack([g["p0"], g["p1"], g["p2"]], axis=-1),
+    )
     return grid, num_fused, num_dropped
 
 
@@ -322,49 +370,48 @@ def naive_fuse_frame(grid: DepthGrid, cand: Candidates, camera: Camera,
     o2 = jnp.argsort(pix_key, stable=True)
     order = o1[o2]
     pix_sorted = pix_key[o2]
-    first = jnp.searchsorted(pix_sorted, pix_sorted, side="left")
-    rank = jnp.arange(M, dtype=jnp.int32) - first.astype(jnp.int32)
+    rank = _segment_rank(pix_sorted)
     keep = (pix_sorted < H * W) & (rank < K)
-    slot_idx = jnp.where(keep, pix_sorted * K + rank, H * W * K)
+    slot_idx = jnp.where(keep, rank * (H * W) + pix_sorted, H * W * K)
 
-    def to_slots(a_sorted, fill):
-        shape = (H * W * K,) + a_sorted.shape[1:]
-        buf = jnp.full(shape, fill, a_sorted.dtype)
-        return buf.at[slot_idx].set(a_sorted, mode="drop") \
-                  .reshape((H, W, K) + a_sorted.shape[1:])
-
-    invD_s = to_slots(tiled.inv_depth[order], 0.0)
-    var_s = to_slots(tiled.variance[order], 0.0)
-    res_s = to_slots(tiled.residual[order], 0.0)
-    age_s = to_slots(tiled.age[order], 0)
-    p_s = to_slots(tiled.p_cam[order], 0.0)
-    ok_s = to_slots(tiled.valid[order], False)
+    dt = tiled.inv_depth.dtype
+    packed = jnp.concatenate([
+        tiled.inv_depth[order, None], tiled.variance[order, None],
+        tiled.residual[order, None], tiled.age[order, None].astype(dt),
+        tiled.p_cam[order], tiled.valid[order, None].astype(dt),
+    ], axis=1)                                         # (M, 8)
+    buf = jnp.zeros((H * W * K, packed.shape[1]), dt)
+    buf = buf.at[slot_idx].set(packed, mode="drop") \
+             .reshape(K, H, W, -1)
 
     P = camera.params.P
     for k in range(K):
-        c_ok = ok_s[..., k]
-        c_invD = invD_s[..., k]
+        c_ok = buf[k, :, :, 7] > 0.5
+        c_invD = buf[k, :, :, 0]
+        c_var = buf[k, :, :, 1]
+        c_res = buf[k, :, :, 2]
+        c_age = buf[k, :, :, 3].astype(jnp.int32)
+        c_p = buf[k, :, :, 4:7]
         occ = grid.occupied
         ins = c_ok & ~occ
         # occupied: skip if existing point is closer (larger invDepth);
         # else replace when candidate residual is lower
         # (DepthFusion.cpp:276-285)
         repl = c_ok & occ & ~(grid.inv_depth > c_invD) \
-            & (res_s[..., k] < grid.residual)
+            & (c_res < grid.residual)
         take = ins | repl
-        p_center = cam_to_world(P, grid.x, c_invD)
+        p_center = cam_to_world(P, grid.x, jnp.maximum(c_invD, 1e-12))
         grid = DepthGrid(
             inv_depth=jnp.where(take, c_invD, grid.inv_depth),
-            variance=jnp.where(take, jnp.maximum(var_s[..., k], 1e-6),
+            variance=jnp.where(take, jnp.maximum(c_var, 1e-6),
                                grid.variance),
-            scale2=jnp.where(take, jnp.maximum(var_s[..., k], 1e-6),
-                             grid.scale2),
+            scale2=jnp.where(take, jnp.maximum(c_var, 1e-6), grid.scale2),
             nu=jnp.where(take, jnp.inf, grid.nu),
-            residual=jnp.where(take, res_s[..., k], grid.residual),
-            age=jnp.where(take, age_s[..., k], grid.age),
+            residual=jnp.where(take, c_res, grid.residual),
+            age=jnp.where(take, c_age, grid.age),
             x=grid.x,
             p_cam=jnp.where(take[..., None],
-                            jnp.where(ins[..., None], p_center, p_s[..., k, :]),
+                            jnp.where(ins[..., None], p_center, c_p),
                             grid.p_cam),
         )
     return grid

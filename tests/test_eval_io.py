@@ -48,7 +48,7 @@ def test_rpe_zero_for_identical():
     rng = np.random.default_rng(2)
     times, poses = random_trajectory(rng)
     dt, dr = rpe_stats(times, poses, times, poses)
-    assert dt < 1e-12 and dr < 1e-9
+    assert dt < 1e-12 and dr < 1e-6  # arccos near 1 is sqrt-noisy
 
 
 def test_umeyama_with_scale():
