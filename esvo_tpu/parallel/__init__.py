@@ -3,7 +3,8 @@ from esvo_tpu.parallel.sharding import (
     sharded_surface_update,
     sharded_map_estimate,
     sharded_tracking_step,
+    sharded_ba_normal_equations,
 )
 
 __all__ = ["make_mesh", "sharded_surface_update", "sharded_map_estimate",
-           "sharded_tracking_step"]
+           "sharded_tracking_step", "sharded_ba_normal_equations"]

@@ -35,6 +35,7 @@ from esvo_tpu.surface import time_surface as tsf
 from esvo_tpu.mapping import block_matching as bm
 from esvo_tpu.mapping import depth_refinement as dr
 from esvo_tpu.tracking import registration as reg
+from esvo_tpu.backend import bundle_adjustment as ba
 
 EVENT_AXIS = "ev"
 
@@ -127,3 +128,47 @@ def sharded_tracking_step(mesh: Mesh, camera: Camera,
                   P(EVENT_AXIS)),
         out_specs=(P(), P()), check_vma=False)
     return fn
+
+
+def sharded_ba_normal_equations(mesh: Mesh, cfg: ba.BAConfig):
+    """Returns fn(problem-with-sharded-observations) -> (B, C, gc, gp,
+    E_pt): the BA normal-equation blocks assembled per observation shard
+    and psum-reduced over the mesh. The (small) reduced camera solve runs
+    replicated afterwards — this is exactly the Schur-complement
+    reduction pattern from the north star, with observations as the
+    sharded axis and ICI all-reduce as the only communication.
+    """
+
+    def body(T_kf, points, obs_kf, obs_point, obs_uv, obs_valid,
+             fx, fy, cx, cy):
+        prob = ba.BAProblem(T_world_kf=T_kf, points=points, obs_kf=obs_kf,
+                            obs_point=obs_point, obs_uv=obs_uv,
+                            obs_valid=obs_valid, fx=fx, fy=fy, cx=cx,
+                            cy=cy)
+        r, Jc, Jp, ok = ba.reprojection_residuals(prob)
+        rn = jnp.linalg.norm(r, axis=1)
+        w = jnp.where(rn > cfg.huber_threshold,
+                      cfg.huber_threshold / jnp.maximum(rn, 1e-12), 1.0)
+        w = jnp.where(ok, w, 0.0)
+        K = T_kf.shape[0]
+        Pn = points.shape[0]
+        wJc = Jc * w[:, None, None]
+        wJp = Jp * w[:, None, None]
+        B = jnp.zeros((K, 6, 6)).at[obs_kf].add(
+            jnp.einsum("nij,nik->njk", wJc, Jc))
+        C = jnp.zeros((Pn, 3, 3)).at[obs_point].add(
+            jnp.einsum("nij,nik->njk", wJp, Jp))
+        gc = jnp.zeros((K, 6)).at[obs_kf].add(
+            jnp.einsum("nij,ni->nj", wJc, r))
+        gp = jnp.zeros((Pn, 3)).at[obs_point].add(
+            jnp.einsum("nij,ni->nj", wJp, r))
+        E_obs = jnp.einsum("nij,nik->njk", wJc, Jp)
+        E_pt = jnp.zeros((Pn, K, 6, 3)).at[obs_point, obs_kf].add(E_obs)
+        out = (B, C, gc, gp, E_pt)
+        return tuple(jax.lax.psum(o, EVENT_AXIS) for o in out)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(EVENT_AXIS), P(EVENT_AXIS), P(EVENT_AXIS),
+                  P(EVENT_AXIS), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()), check_vma=False)

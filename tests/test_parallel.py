@@ -116,3 +116,44 @@ def test_sharded_tracking_step_matches_serial(mesh):
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(dx_serial), np.asarray(dx_shard),
                                rtol=0.1, atol=1e-3)
+
+
+def test_sharded_ba_normal_equations_match_serial(mesh):
+    from esvo_tpu.backend import bundle_adjustment as ba
+    from tests.test_backend import synthetic_problem
+
+    rng = np.random.default_rng(5)
+    prob, *_ = synthetic_problem(rng, K=4, P=64)
+    # pad observations to a multiple of the mesh size
+    M = prob.obs_kf.shape[0]
+    pad = (-M) % N_DEV
+    if pad:
+        prob = prob.replace(
+            obs_kf=jnp.pad(prob.obs_kf, (0, pad)),
+            obs_point=jnp.pad(prob.obs_point, (0, pad)),
+            obs_uv=jnp.pad(prob.obs_uv, ((0, pad), (0, 0))),
+            obs_valid=jnp.pad(prob.obs_valid, (0, pad)))
+
+    cfg = ba.BAConfig()
+    fn = ps.sharded_ba_normal_equations(mesh, cfg)
+    B, C, gc, gp, E_pt = fn(prob.T_world_kf, prob.points, prob.obs_kf,
+                            prob.obs_point, prob.obs_uv, prob.obs_valid,
+                            prob.fx, prob.fy, prob.cx, prob.cy)
+
+    # serial reference blocks
+    r, Jc, Jp, ok = ba.reprojection_residuals(prob)
+    rn = jnp.linalg.norm(r, axis=1)
+    w = jnp.where(rn > cfg.huber_threshold,
+                  cfg.huber_threshold / jnp.maximum(rn, 1e-12), 1.0)
+    w = jnp.where(ok, w, 0.0)
+    wJc = Jc * w[:, None, None]
+    K, P = prob.T_world_kf.shape[0], prob.points.shape[0]
+    B_ref = jnp.zeros((K, 6, 6)).at[prob.obs_kf].add(
+        jnp.einsum("nij,nik->njk", wJc, Jc))
+    gc_ref = jnp.zeros((K, 6)).at[prob.obs_kf].add(
+        jnp.einsum("nij,ni->nj", wJc, r))
+
+    np.testing.assert_allclose(np.asarray(B), np.asarray(B_ref),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gc_ref),
+                               rtol=1e-6, atol=1e-8)
