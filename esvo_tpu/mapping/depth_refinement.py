@@ -370,7 +370,9 @@ def solve(matches_x: jax.Array, T_world_virtual: jax.Array,
         h = jnp.sum(jac * jac, axis=-1)
         delta = -g / (h * (1.0 + lam) + 1e-12)
         d_try = d + delta
-        f_try = batch_f(d_try, matches_x, T_left_virtual)
+        # single jvp evaluation per iteration: the trial's (f, J) is
+        # reused as the new state when accepted
+        f_try, jac_try, _ = batch_fj(d_try, matches_x, T_left_virtual)
         cost_try = jnp.sum(f_try * f_try, axis=-1)
         accept = cost_try < cost
         frozen = strikes >= 2
@@ -383,11 +385,12 @@ def solve(matches_x: jax.Array, T_world_virtual: jax.Array,
         strikes = jnp.where(frozen, strikes,
                             jnp.where(small, strikes + 1, 0))
         d_new = jnp.where(do, d_try, d)
+        f_new = jnp.where(do[:, None], f_try, f)
+        jac_new = jnp.where(do[:, None], jac_try, jac)
+        cost_new = jnp.where(do, cost_try, cost)
         lam_new = jnp.where(frozen, lam,
                             jnp.where(accept, lam * 0.3, lam * 4.0))
         lam_new = jnp.clip(lam_new, 1e-9, 1e9)
-        f_new, jac_new, _ = batch_fj(d_new, matches_x, T_left_virtual)
-        cost_new = jnp.sum(f_new * f_new, axis=-1)
         return (d_new, lam_new, strikes, f_new, jac_new, cost_new), None
 
     (d, lam, strikes, f, jac, cost), _ = jax.lax.scan(
