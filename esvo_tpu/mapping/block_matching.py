@@ -153,50 +153,62 @@ def _match_horizontal(ts_left, ts_right, x_rect, t, valid, mask, rig, cfg,
         & (ui + hx < W - 1) & (vi + hy < H - 1)
 
     n = x_rect.shape[0]
-    patch_l = slice_patches(ts_left, vi - hy, ui - hx, wy, wx)  # (N, wy, wx)
-
-    # low info-noise-ratio rejection (EventBM.cpp:104-109)
-    dark = jnp.sum((patch_l < 1.0).astype(dtype), axis=(1, 2))
-    inb = inb & (dark <= 0.95 * wx * wy)
-
-    patch_l_n = _normalize(patch_l, axis=(1, 2))
-
-    # strip covering all disparity candidates: columns
-    # [u - hx - dmax, u + hx - dmin]
-    S = wx + D - 1
-    cols_s = ui[:, None] - dmax - hx + jnp.arange(S, dtype=jnp.int32)
-    strip_ok = (cols_s >= 0) & (cols_s < W)
-    # contiguous (wy, S) block per event; dynamic_slice clamps, so shift
-    # the requested start and mask the shifted-in columns
-    start_x = jnp.clip(ui - dmax - hx, 0, max(W - S, 0))
-    strip = slice_patches(ts_right, vi - hy, start_x, wy, S)
-    # columns may be shifted when the start clamped; rebuild alignment by
-    # rolling each row by the clamp offset
-    off = (ui - dmax - hx) - start_x            # (N,) <= 0 or >= 0
-    strip = jax.vmap(lambda s_, o: jnp.roll(s_, -o, axis=-1))(strip, off)
-    strip = jnp.where(strip_ok[:, None, :], strip, 0.0)   # (N, wy, S)
-
-    # per-disparity ZNCC cost, all disparities at once: disparity d
-    # occupies strip columns [dmax - d, dmax - d + wx). With the left
-    # patch zero-mean normalized, mean(pl_n * zn(w)) reduces to
-    # (sum pl_n . w) / (P * sigma_w) — one einsum for the numerator plus
-    # windowed moment sums; no per-disparity loop bodies.
+    # DENSE ZNCC cost volume: per-event patch/strip slicing serializes on
+    # TPU (XLA lowers the batched dynamic slices to a scalar loop in
+    # context), so compute the normalized cross-correlation for EVERY
+    # pixel and disparity with separable box sums — cost independent of
+    # N — and gather each event's D-vector with one flat gather. For all
+    # entries that survive the interior-margin checks this is exactly the
+    # per-patch ZNCC of the reference (zero padding never reaches a valid
+    # patch).
     P_area = wx * wy
-    windows = jnp.stack([strip[:, :, dmax - d:dmax - d + wx]
-                         for d in range(dmin, dmax + 1)], axis=1)
-    # (N, D, wy, wx)
-    sum_r = jnp.sum(windows, axis=(-2, -1))
-    sumsq_r = jnp.sum(windows * windows, axis=(-2, -1))
-    mean_r = sum_r / P_area
-    var_r = jnp.maximum(sumsq_r / P_area - mean_r * mean_r, 0.0)
-    sigma_r = jnp.sqrt(var_r) + 1e-6
-    num = jnp.einsum("nyx,ndyx->nd", patch_l_n, windows,
-                     preferred_element_type=dtype)
-    ncc = num / (P_area * sigma_r)
-    cost_raw = 0.5 * (1.0 - ncc)
+
+    def box(img):
+        p = jnp.pad(img, ((hy, hy), (0, 0)))
+        out = jnp.zeros_like(img)
+        for dy_ in range(wy):
+            out = out + jax.lax.slice_in_dim(p, dy_, dy_ + H, axis=0)
+        p = jnp.pad(out, ((0, 0), (hx, hx)))
+        out = jnp.zeros_like(img)
+        for dx_ in range(wx):
+            out = out + jax.lax.slice_in_dim(p, dx_, dx_ + W, axis=1)
+        return out
+
+    S_l = box(ts_left)
+    S_l2 = box(ts_left * ts_left)
+    m_l = S_l / P_area
+    sigma_l = jnp.sqrt(jnp.maximum(S_l2 / P_area - m_l * m_l, 0.0)) + 1e-6
+    S_r = box(ts_right)
+    S_r2 = box(ts_right * ts_right)
+    dark_l = box((ts_left < 1.0).astype(dtype))
+
+    def shift_right(img, d):
+        if d == 0:
+            return img
+        return jnp.pad(img, ((0, 0), (d, 0)))[:, :W]
+
+    cost_planes = []
+    for d in range(dmin, dmax + 1):
+        S_rd = shift_right(S_r, d)
+        S_r2d = shift_right(S_r2, d)
+        m_r = S_rd / P_area
+        sigma_r = jnp.sqrt(jnp.maximum(S_r2d / P_area - m_r * m_r, 0.0)) \
+            + 1e-6
+        S_lr = box(ts_left * shift_right(ts_right, d))
+        ncc = (S_lr / P_area - m_l * m_r) / (sigma_l * sigma_r)
+        cost_planes.append(0.5 * (1.0 - ncc))
+    cost_cube = jnp.stack(cost_planes, axis=-1)       # (H, W, D)
+
+    # per-event gathers (flat 1D)
+    flat = (vi * W + ui)
+    cost_vol = jnp.take(cost_cube.reshape(-1, D), flat, axis=0)  # (N, D)
+    dark = jnp.take(dark_l.reshape(-1), flat)
+    # low info-noise-ratio rejection (EventBM.cpp:104-109)
+    inb = inb & (dark <= 0.95 * P_area)
+
     ds = jnp.arange(dmin, dmax + 1, dtype=jnp.int32)[None, :]
     ok_vol = (ui[:, None] - ds - hx >= 1) & (ui[:, None] - ds + hx < W - 1)
-    cost_vol = jnp.where(ok_vol, cost_raw, 1.0)       # (N, D)
+    cost_vol = jnp.where(ok_vol, cost_vol, 1.0)       # (N, D)
 
     best = jnp.argmin(cost_vol, axis=1)
     best_cost = jnp.take_along_axis(cost_vol, best[:, None], axis=1)[:, 0]
