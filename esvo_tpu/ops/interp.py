@@ -51,6 +51,16 @@ def slice_patches(img: jax.Array, ul_y: jax.Array, ul_x: jax.Array,
     uy = ul_y.reshape(-1)
     ux = ul_x.reshape(-1)
 
+    # On TPU, XLA serializes this batched slice into a scalar loop
+    # (~1.2 us/window); the Pallas kernel extracts windows on-chip
+    # (~0.2 us/window at 4096 windows). Requires 8-row-aligned window
+    # heights (sublane constraint) — other shapes fall back.
+    if jax.default_backend() == "tpu" and h % 8 == 0 \
+            and img.dtype == jnp.float32:
+        from esvo_tpu.ops.pallas_patches import pallas_slice_patches
+        out = pallas_slice_patches(img, uy, ux, h, w)
+        return out.reshape(shape + (h, w))
+
     def one(y, x):
         return jax.lax.dynamic_slice(img, (y, x), (h, w))
 

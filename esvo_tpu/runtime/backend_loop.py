@@ -1,0 +1,110 @@
+"""Sliding-window bundle-adjustment layer over the runtime system.
+
+A new capability beyond the reference (which has no backend — the
+tracker's raw pose stream is the final trajectory): keyframes are sampled
+from the mapper's depth frames, associated across views by voxel-hashed
+world proximity (backend.keyframes), and a sliding window of recent
+keyframes is refined with the Schur-complement BA (backend.bundle_adjustment).
+The pose correction of the newest keyframe is folded back into the
+system's current pose estimate, bounding tracker drift.
+
+Usage:
+    backend = BackendLoop(system, keyframe_every=5, window=6)
+    ...
+    out = system.process_tick(...)
+    backend.maybe_update(out)     # after each mapping tick
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from esvo_tpu.backend.bundle_adjustment import BAConfig, bundle_adjust
+from esvo_tpu.backend.keyframes import KeyframeGraph, build_ba_problem
+from esvo_tpu.runtime.system import EsvoSystem, SystemStatus
+
+
+class BackendLoop:
+    def __init__(self, system: EsvoSystem, keyframe_every: int = 5,
+                 window: int = 6, max_points_per_kf: int = 400,
+                 ba_config: BAConfig | None = None,
+                 voxel_size: float = 0.05):
+        self.system = system
+        self.keyframe_every = keyframe_every
+        self.window = window
+        self.max_points_per_kf = max_points_per_kf
+        self.ba_cfg = ba_config or BAConfig(max_iterations=8,
+                                            num_fixed_poses=1)
+        P = np.asarray(system.rig.left.params.P)
+        self._intr = (float(P[0, 0]), float(P[1, 1]), float(P[0, 2]),
+                      float(P[1, 2]))
+        self.voxel_size = voxel_size
+        self._mapping_cycles = 0
+        # sliding window of (time, T_world_kf, pts_world, uv, valid)
+        self._kfs: list[tuple] = []
+        self.num_ba_runs = 0
+        self.last_correction = np.eye(4)
+
+    def _sample_keyframe(self):
+        """Sample the current depth frame's best points + their pixels."""
+        sys = self.system
+        grid = sys.grid
+        occ = np.asarray(grid.occupied)
+        ys, xs = np.nonzero(occ)
+        if len(ys) == 0:
+            return None
+        var = np.asarray(grid.variance)[ys, xs]
+        order = np.argsort(var)[:self.max_points_per_kf]
+        ys, xs = ys[order], xs[order]
+        uv = np.asarray(grid.x)[ys, xs]                 # sub-pixel coords
+        p_cam = np.asarray(grid.p_cam)[ys, xs]
+        T = np.asarray(sys.T_world_frame)
+        pts_world = p_cam @ T[:3, :3].T + T[:3, 3]
+        return (sys.last_tick_time, T, pts_world, uv,
+                np.ones(len(ys), bool))
+
+    def maybe_update(self, tick_out: dict) -> dict | None:
+        """Call after a mapping tick; runs BA when the window advances.
+        Returns BA stats dict or None."""
+        sys = self.system
+        if sys.status != SystemStatus.WORKING \
+                or "map_points" not in tick_out:
+            return None
+        self._mapping_cycles += 1
+        if self._mapping_cycles % self.keyframe_every != 0:
+            return None
+        kf = self._sample_keyframe()
+        if kf is None:
+            return None
+        self._kfs.append(kf)
+        if len(self._kfs) < 3:
+            return None
+        self._kfs = self._kfs[-self.window:]
+
+        fx, fy, cx, cy = self._intr
+        graph = KeyframeGraph(fx=fx, fy=fy, cx=cx, cy=cy,
+                              voxel_size=self.voxel_size)
+        for (t, T, pts, uv, ok) in self._kfs:
+            graph.add_keyframe(T, pts, uv, ok)
+        if graph.multiview_fraction() < 0.1:
+            return None
+        prob = build_ba_problem(graph, max_points=2000)
+        prob, costs = bundle_adjust(prob, self.ba_cfg)
+        self.num_ba_runs += 1
+
+        # fold the newest keyframe's correction into the live pose
+        T_old = self._kfs[-1][1]
+        T_new = np.asarray(prob.T_world_kf[-1], np.float64)
+        corr = T_new @ np.linalg.inv(T_old)
+        self.last_correction = corr
+        sys.T_world_cur = corr @ sys.T_world_cur
+        sys.T_world_frame = corr @ np.asarray(sys.T_world_frame)
+        # refresh stored keyframe poses with the refined ones
+        self._kfs = [(t, np.asarray(Tk, np.float64), pts, uv, ok)
+                     for (t, _, pts, uv, ok), Tk
+                     in zip(self._kfs, np.asarray(prob.T_world_kf))]
+        c = np.asarray(costs)
+        return {"ba_cost_initial": float(c[0]), "ba_cost_final": float(c[-1]),
+                "num_keyframes": graph.num_keyframes,
+                "num_points": graph.num_points,
+                "multiview_fraction": graph.multiview_fraction()}
