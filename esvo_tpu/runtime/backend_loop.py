@@ -33,8 +33,9 @@ class BackendLoop:
         self.keyframe_every = keyframe_every
         self.window = window
         self.max_points_per_kf = max_points_per_kf
+        # two fixed poses pin the SE(3) + scale gauge of the window
         self.ba_cfg = ba_config or BAConfig(max_iterations=8,
-                                            num_fixed_poses=1)
+                                            num_fixed_poses=2)
         P = np.asarray(system.rig.left.params.P)
         self._intr = (float(P[0, 0]), float(P[1, 1]), float(P[0, 2]),
                       float(P[1, 2]))
