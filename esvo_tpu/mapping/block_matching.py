@@ -182,22 +182,26 @@ def _match_horizontal(ts_left, ts_right, x_rect, t, valid, mask, rig, cfg,
     S_r2 = box(ts_right * ts_right)
     dark_l = box((ts_left < 1.0).astype(dtype))
 
-    def shift_right(img, d):
-        if d == 0:
-            return img
-        return jnp.pad(img, ((0, 0), (d, 0)))[:, :W]
+    # lax.scan over disparities: an unrolled python loop keeps every
+    # plane's box-filter intermediates live (OOM at DSEC scale, D=151)
+    pad_r = jnp.pad(ts_right, ((0, 0), (dmax, 0)))
+    pad_Sr = jnp.pad(S_r, ((0, 0), (dmax, 0)))
+    pad_Sr2 = jnp.pad(S_r2, ((0, 0), (dmax, 0)))
 
-    cost_planes = []
-    for d in range(dmin, dmax + 1):
-        S_rd = shift_right(S_r, d)
-        S_r2d = shift_right(S_r2, d)
-        m_r = S_rd / P_area
-        sigma_r = jnp.sqrt(jnp.maximum(S_r2d / P_area - m_r * m_r, 0.0)) \
-            + 1e-6
-        S_lr = box(ts_left * shift_right(ts_right, d))
+    def plane(_, d):
+        zero = jnp.zeros((), d.dtype)
+        sl = lambda p: jax.lax.dynamic_slice(
+            p, (zero, jnp.asarray(dmax, d.dtype) - d), (H, W))
+        m_r = sl(pad_Sr) / P_area
+        sigma_r = jnp.sqrt(jnp.maximum(sl(pad_Sr2) / P_area - m_r * m_r,
+                                       0.0)) + 1e-6
+        S_lr = box(ts_left * sl(pad_r))
         ncc = (S_lr / P_area - m_l * m_r) / (sigma_l * sigma_r)
-        cost_planes.append(0.5 * (1.0 - ncc))
-    cost_cube = jnp.stack(cost_planes, axis=-1)       # (H, W, D)
+        return None, 0.5 * (1.0 - ncc)
+
+    _, cost_cube = jax.lax.scan(
+        plane, None, jnp.arange(dmin, dmax + 1, dtype=jnp.int32))
+    cost_cube = jnp.moveaxis(cost_cube, 0, -1)        # (H, W, D)
 
     # per-event gathers (flat 1D)
     flat = (vi * W + ui)
