@@ -173,6 +173,24 @@ def orthonormalize_rotation(R: jax.Array) -> jax.Array:
     return jnp.matmul(U, Vt)
 
 
+def orthonormalize_rotation_fast(R: jax.Array) -> jax.Array:
+    """Project a NEARLY orthogonal (..., 3, 3) matrix onto SO(3) with two
+    Newton-Schulz polar iterations R <- R (3I - R^T R) / 2.
+
+    Quadratic convergence: for drift ~1e-6 (products of rotations) the
+    result matches the SVD projection to f32 precision, without the SVD
+    custom call that dominates the tracker's sequential LM rounds on TPU
+    (reference re-orthonormalizes with Jacobi SVD,
+    esvo_core/src/core/RegProblemLM.cpp:336-337). NOT valid for matrices
+    far from orthogonal — use orthonormalize_rotation there.
+    """
+    eye3 = 3.0 * jnp.eye(3, dtype=R.dtype)
+    for _ in range(2):
+        R = 0.5 * R @ (eye3 - jnp.swapaxes(R, -1, -2) @ R) \
+            if R.ndim > 2 else 0.5 * (R @ (eye3 - R.T @ R))
+    return R
+
+
 def interpolate_pose(t0, T0: jax.Array, t1, T1: jax.Array, t) -> jax.Array:
     """Interpolate a rigid pose at time t between stamped poses (t0, T0),
     (t1, T1): lerp on translation, slerp on rotation — the same semantics as

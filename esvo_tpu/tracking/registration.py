@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from esvo_tpu.geometry.camera import Camera
-from esvo_tpu.geometry.se3 import cayley_to_rot, orthonormalize_rotation
+from esvo_tpu.geometry.se3 import (cayley_to_rot, orthonormalize_rotation,
+                                  orthonormalize_rotation_fast)
 from esvo_tpu.ops.interp import patch_interpolate, gather2d
 from esvo_tpu.surface.time_surface import gaussian_blur, sobel_x, sobel_y
 
@@ -103,7 +104,9 @@ def warping_transformation(R: jax.Array, t: jax.Array, x: jax.Array):
     dc = x[:3]
     dt = x[3:]
     dR = cayley_to_rot(dc)
-    R_cur_ref = orthonormalize_rotation(R.T @ dR.T)
+    # products of two rotations are near-orthogonal: Newton-Schulz
+    # replaces the SVD (an unfusable custom call inside every LM round)
+    R_cur_ref = orthonormalize_rotation_fast(R.T @ dR.T)
     t_cur_ref = -R_cur_ref @ (dt + dR @ t)
     return R_cur_ref, t_cur_ref
 
@@ -215,7 +218,7 @@ def add_motion_update(R: jax.Array, t: jax.Array, dx: jax.Array):
     """Fold an increment into (R, t) (addMotionUpdate,
     RegProblemLM.cpp:348-360)."""
     dR = cayley_to_rot(dx[:3])
-    R_new = orthonormalize_rotation(dR @ R)
+    R_new = orthonormalize_rotation_fast(dR @ R)
     t_new = dx[3:] + dR @ t
     return R_new, t_new
 
