@@ -50,6 +50,19 @@ def slice_patches(img: jax.Array, ul_y: jax.Array, ul_x: jax.Array,
     shape = ul_y.shape
     uy = ul_y.reshape(-1)
     ux = ul_x.reshape(-1)
+    H, W = img.shape
+
+    # Small windows: one flat gather of all window elements. The
+    # vmap(dynamic_slice) fallback below serializes to a ~1.2 us/window
+    # scalar loop on TPU when composed into a larger jit — for the
+    # tracker's 2x2 bilinear windows that loop dominated the whole solve.
+    if h * w <= 64:
+        yy = jnp.clip(uy[:, None, None] + jnp.arange(h)[None, :, None],
+                      0, H - 1)
+        xx = jnp.clip(ux[:, None, None] + jnp.arange(w)[None, None, :],
+                      0, W - 1)
+        out = jnp.take(img.reshape(-1), yy * W + xx, mode="clip")
+        return out.reshape(shape + (h, w))
 
     # On TPU, XLA serializes this batched slice into a scalar loop
     # (~1.2 us/window); the Pallas kernel extracts windows on-chip

@@ -34,6 +34,7 @@ from esvo_tpu.geometry.camera import StereoRig, Camera
 from esvo_tpu.surface import time_surface as tsf
 from esvo_tpu.mapping import block_matching as bm
 from esvo_tpu.mapping import depth_refinement as dr
+from esvo_tpu.ops.linalg import solve_spd
 from esvo_tpu.tracking import registration as reg
 from esvo_tpu.backend import bundle_adjustment as ba
 
@@ -119,7 +120,7 @@ def sharded_tracking_step(mesh: Mesh, camera: Camera,
         cost = jax.lax.psum(jnp.sum(f * f), EVENT_AXIS)
         damp = cfg.lm_damping * jnp.diag(jnp.diag(H)) \
             + 1e-12 * jnp.eye(6, dtype=R.dtype)
-        dx = -jnp.linalg.solve(H + damp, g)
+        dx = -solve_spd(H + damp, g)
         return dx, cost
 
     fn = shard_map(

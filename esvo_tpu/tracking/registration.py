@@ -35,6 +35,7 @@ from esvo_tpu.geometry.camera import Camera
 from esvo_tpu.geometry.se3 import (cayley_to_rot, orthonormalize_rotation,
                                   orthonormalize_rotation_fast)
 from esvo_tpu.ops.interp import patch_interpolate, gather2d
+from esvo_tpu.ops.linalg import solve_spd
 from esvo_tpu.surface.time_surface import gaussian_blur, sobel_x, sobel_y
 
 
@@ -264,7 +265,8 @@ def solve(prob: RegProblem, camera: Camera, cfg: RegProblemConfig):
         g = J.T @ f
         H = J.T @ J
         damp = lam * jnp.diag(jnp.diag(H)) + 1e-12 * jnp.eye(6, dtype=dtype)
-        dx = -jnp.linalg.solve(H + damp, g)
+        # unrolled Cholesky fuses into the scan body (LU custom call won't)
+        dx = -solve_spd(H + damp, g)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         R_try, t_try = add_motion_update(R, t, dx)
         _, cost_try = batch_cost(R_try, t_try, pts, val)

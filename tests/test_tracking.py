@@ -144,3 +144,15 @@ def test_pose_of_roundtrip():
                             jnp.zeros((H, W), jnp.float64), cfg)
     np.testing.assert_allclose(np.asarray(reg.pose_of(prob)),
                                np.asarray(T_world_cur), atol=1e-12)
+
+
+def test_solve_spd_matches_dense_solve():
+    from esvo_tpu.ops.linalg import solve_spd
+    rng = np.random.default_rng(7)
+    for n in (3, 6, 9):
+        A = rng.standard_normal((n, n))
+        A = A @ A.T + n * np.eye(n)
+        b = rng.standard_normal(n)
+        x = solve_spd(jnp.asarray(A), jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                                   rtol=1e-5, atol=1e-8)
