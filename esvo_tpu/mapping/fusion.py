@@ -223,18 +223,23 @@ def fuse_frame(grid: DepthGrid, cand: Candidates, camera: Camera,
     # pathological materialized transpose)
     slot_idx = jnp.where(keep, rank * (H * W) + pix_sorted, H * W * K)
     dt = tiled.inv_depth.dtype
-    packed = jnp.concatenate([
-        tiled.inv_depth[order, None], tiled.variance[order, None],
-        tiled.scale2[order, None], tiled.nu[order, None],
-        tiled.residual[order, None],
-        tiled.age[order, None].astype(dt),
-        tiled.x[order], tiled.p_cam[order],
-        tiled.valid[order, None].astype(dt),
-    ], axis=1)                                         # (M, 12)
-    C = packed.shape[1]
-    buf = jnp.zeros((H * W * K, C), dt)
-    buf = buf.at[slot_idx].set(packed, mode="drop") \
-             .reshape(K, H, W, C)
+    # channel-major (C, M): a (slots, 12) row scatter pads the 12-wide
+    # minor dim to 128 lanes (10x wasted scatter bandwidth); scattering
+    # columns of a channel-major buffer keeps the slot axis on the lanes
+    packed = jnp.stack([
+        tiled.inv_depth[order], tiled.variance[order],
+        tiled.scale2[order], tiled.nu[order],
+        tiled.residual[order],
+        tiled.age[order].astype(dt),
+        tiled.x[order, 0], tiled.x[order, 1],
+        tiled.p_cam[order, 0], tiled.p_cam[order, 1],
+        tiled.p_cam[order, 2],
+        tiled.valid[order].astype(dt),
+    ], axis=0)                                         # (C, M)
+    C = packed.shape[0]
+    buf = jnp.zeros((C, H * W * K), dt)
+    buf = buf.at[:, slot_idx].set(packed, mode="drop") \
+             .reshape(C, K, H, W)
 
     P = camera.params.P
     tdist = cfg.ls_norm == "Tdist"
@@ -264,18 +269,18 @@ def fuse_frame(grid: DepthGrid, cand: Candidates, camera: Camera,
                 Ainv[2, 0] * r0 + Ainv[2, 1] * r1 + Ainv[2, 2] * r2)
 
     for k in range(K):
-        c_invD = buf[k, :, :, 0]
-        c_var = buf[k, :, :, 1]
-        c_s2 = buf[k, :, :, 2]
-        c_nu = buf[k, :, :, 3]
-        c_res = buf[k, :, :, 4]
-        c_age = buf[k, :, :, 5].astype(jnp.int32)
-        c_x0 = buf[k, :, :, 6]
-        c_x1 = buf[k, :, :, 7]
-        c_p0 = buf[k, :, :, 8]
-        c_p1 = buf[k, :, :, 9]
-        c_p2 = buf[k, :, :, 10]
-        c_ok = buf[k, :, :, 11] > 0.5
+        c_invD = buf[0, k]
+        c_var = buf[1, k]
+        c_s2 = buf[2, k]
+        c_nu = buf[3, k]
+        c_res = buf[4, k]
+        c_age = buf[5, k].astype(jnp.int32)
+        c_x0 = buf[6, k]
+        c_x1 = buf[7, k]
+        c_p0 = buf[8, k]
+        c_p1 = buf[9, k]
+        c_p2 = buf[10, k]
+        c_ok = buf[11, k] > 0.5
 
         occ = g["invD"] > -1e-6
         # --- case 1: empty cell -> insert at pixel centre
