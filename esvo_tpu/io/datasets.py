@@ -46,10 +46,12 @@ def load_mvsec_events(h5_path: str, camera: str = "left",
         ds = f["davis"][camera]["events"]
         n = len(ds) if max_events is None else min(len(ds), max_events)
         ev = ds[:n]
+    # MVSEC timestamps are absolute epoch seconds (~1.4e9): rebase so
+    # downstream float32 framing keeps sub-ms resolution.
     return EventArray(t=ev[:, 2].astype(np.float64),
                       x=ev[:, 0].astype(np.int32),
                       y=ev[:, 1].astype(np.int32),
-                      p=ev[:, 3] > 0)
+                      p=ev[:, 3] > 0).rebased()
 
 
 def load_mvsec_gt_poses(gt_h5_path: str, camera: str = "left"):
@@ -77,4 +79,4 @@ def load_dsec_events(h5_path: str,
         return EventArray(t=t * 1e-6,
                           x=g["x"][:n].astype(np.int32),
                           y=g["y"][:n].astype(np.int32),
-                          p=g["p"][:n] > 0)
+                          p=g["p"][:n] > 0).rebased()

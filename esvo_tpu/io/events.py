@@ -21,11 +21,19 @@ import numpy as np
 
 @dataclasses.dataclass
 class EventArray:
-    """Host-side packed event stream (sorted by time)."""
-    t: np.ndarray  # (N,) float64 seconds
+    """Host-side packed event stream (sorted by time).
+
+    `t` must be relative to the session origin (small values): downstream
+    device code casts to float32, whose resolution at epoch scale (~1.4e9 s)
+    is ~128 s — enough to collapse time-surface decay entirely. `t_offset`
+    records the absolute time of the origin so trajectories can be exported
+    in absolute time.
+    """
+    t: np.ndarray  # (N,) float64 seconds, relative to session origin
     x: np.ndarray  # (N,) int32
     y: np.ndarray  # (N,) int32
     p: np.ndarray  # (N,) bool
+    t_offset: float = 0.0  # absolute time of the session origin
 
     def __post_init__(self):
         assert self.t.ndim == 1
@@ -34,12 +42,20 @@ class EventArray:
     def __len__(self):
         return len(self.t)
 
+    def rebased(self) -> "EventArray":
+        """Rebase t to the stream start, folding the shift into t_offset."""
+        if len(self.t) == 0 or abs(float(self.t[0])) < 1e3:
+            return self
+        t0 = float(self.t[0])
+        return EventArray(self.t - t0, self.x, self.y, self.p,
+                          t_offset=self.t_offset + t0)
+
     def slice_time(self, t0: float, t1: float) -> "EventArray":
         """Events with t in (t0, t1]."""
         lo = np.searchsorted(self.t, t0, side="right")
         hi = np.searchsorted(self.t, t1, side="right")
         return EventArray(self.t[lo:hi], self.x[lo:hi], self.y[lo:hi],
-                          self.p[lo:hi])
+                          self.p[lo:hi], t_offset=self.t_offset)
 
 
 def load_events_txt(path: str, max_events: int | None = None) -> EventArray:
@@ -66,6 +82,11 @@ def frame_events(ev: EventArray, sync_times: np.ndarray,
       x, y (int32), t (float32), p (bool), valid (bool), plus
       `dropped` (K,) int32 overflow counts.
     """
+    if len(ev.t) and abs(float(ev.t[0])) >= 1e6:
+        raise ValueError(
+            "frame_events: timestamps look absolute (t[0]="
+            f"{float(ev.t[0]):.3e}); float32 framing would collapse "
+            "time-surface decay. Rebase first (EventArray.rebased()).")
     K = len(sync_times)
     x = np.zeros((K, capacity), np.int32)
     y = np.zeros((K, capacity), np.int32)

@@ -24,17 +24,23 @@ _lib = None
 
 
 def _build() -> str | None:
+    """Compile the shared library. Returns None only when no compiler
+    exists; a *failed* compile with a present toolchain raises — a silent
+    fallback would hide a broken native path behind the Python one."""
     if os.path.exists(_LIB) and \
             os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
     try:
-        subprocess.run(
+        proc = subprocess.run(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
              "-o", _LIB],
-            check=True, capture_output=True)
-        return _LIB
-    except (OSError, subprocess.CalledProcessError):
-        return None
+            capture_output=True, text=True)
+    except OSError:
+        return None  # no g++ on PATH
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"native event_loader build failed:\n{proc.stderr}")
+    return _LIB
 
 
 def get_lib():

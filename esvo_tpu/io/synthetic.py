@@ -150,6 +150,49 @@ def simulate_stereo_events(scene: SyntheticScene, P_left: np.ndarray,
     return out[0], out[1]
 
 
+def inject_sensor_noise(ev: EventArray, width: int, height: int,
+                        rng: np.random.Generator,
+                        num_hot_pixels: int = 8,
+                        hot_rate_hz: float = 2000.0,
+                        flicker_rate_hz: float = 0.0) -> EventArray:
+    """Add the sensor artefacts the reference's denoiser targets
+    (esvo_Mapping.cpp:1046-1072: flicker from VICON IR + hot pixels):
+    a few isolated pixels firing at kHz rates, polarity alternating.
+    Returns a new time-sorted EventArray."""
+    if len(ev.t) == 0:
+        return ev
+    t0, t1 = float(ev.t[0]), float(ev.t[-1])
+    parts_t = [ev.t]
+    parts_x = [ev.x]
+    parts_y = [ev.y]
+    parts_p = [ev.p]
+    hx = rng.integers(2, width - 2, num_hot_pixels)
+    hy = rng.integers(2, height - 2, num_hot_pixels)
+    for i in range(num_hot_pixels):
+        n = max(int((t1 - t0) * hot_rate_hz), 1)
+        tt = np.sort(rng.uniform(t0, t1, n))
+        parts_t.append(tt)
+        parts_x.append(np.full(n, hx[i], np.int32))
+        parts_y.append(np.full(n, hy[i], np.int32))
+        parts_p.append((np.arange(n) % 2) == 0)
+    if flicker_rate_hz > 0:
+        # full-frame flicker bursts (fluorescent / IR strobes)
+        n_bursts = max(int((t1 - t0) * flicker_rate_hz), 1)
+        for tb in rng.uniform(t0, t1, n_bursts):
+            m = rng.integers(50, 150)
+            parts_t.append(np.full(m, tb))
+            parts_x.append(rng.integers(0, width, m).astype(np.int32))
+            parts_y.append(rng.integers(0, height, m).astype(np.int32))
+            parts_p.append(rng.random(m) > 0.5)
+    t = np.concatenate(parts_t)
+    order = np.argsort(t, kind="stable")
+    return EventArray(t=t[order],
+                      x=np.concatenate(parts_x)[order],
+                      y=np.concatenate(parts_y)[order],
+                      p=np.concatenate(parts_p)[order],
+                      t_offset=ev.t_offset)
+
+
 def interpolate_gt_pose(scene: SyntheticScene, t: float) -> np.ndarray:
     """Linear/slerp-free GT pose lookup (nearest-segment lerp on translation,
     good enough for smooth synthetic trajectories sampled densely)."""

@@ -47,6 +47,9 @@ class BlockMatchConfig:
     zncc_threshold: float = struct.field(pytree_node=False, default=0.1)
     up_down: bool = struct.field(pytree_node=False, default=False)
     smooth_time_surface: bool = struct.field(pytree_node=False, default=False)
+    # require both neighbours of the cost minimum to be valid candidates
+    # (EventBM.cpp:207-225); disable to accept boundary minima
+    check_local_minimum: bool = struct.field(pytree_node=False, default=True)
 
 
 @struct.dataclass
@@ -106,27 +109,40 @@ def match_events(ts_left: jax.Array, ts_right: jax.Array,
       valid: (N,) input mask.
       mask: (H, W) bool valid-pixel mask of the left camera.
     """
+    out, _ = match_events_stats(ts_left, ts_right, x_rect, x_raw, t, valid,
+                                mask, rig, cfg)
+    return out
+
+
+def match_events_stats(ts_left: jax.Array, ts_right: jax.Array,
+                       x_rect: jax.Array, x_raw: jax.Array, t: jax.Array,
+                       valid: jax.Array, mask: jax.Array, rig: StereoRig,
+                       cfg: BlockMatchConfig):
+    """As match_events, but also returns the reference's BM failure
+    taxonomy counters (EventBM.h:89, EventBM.cpp:228-248) as a dict of
+    scalar int32: input / out_of_bounds / info_noise_low / coarse_fail /
+    fine_fail / matched."""
     if cfg.up_down:
         # vertical baseline: search along y by transposing the problem
         ts_left = ts_left.T
         ts_right = ts_right.T
         mask = mask.T
         x_rect = x_rect[:, ::-1]
-        out = _match_horizontal(ts_left, ts_right, x_rect, t, valid, mask,
-                                rig, cfg, swap_patch=True)
+        out, stats = _match_horizontal(ts_left, ts_right, x_rect, t, valid,
+                                       mask, rig, cfg, swap_patch=True)
         return EventMatches(
             x_left=x_rect[:, ::-1], x_left_raw=x_raw,
             x_right=out.x_right[:, ::-1], t=t, inv_depth=out.inv_depth,
-            cost=out.cost, disparity=out.disparity, valid=out.valid)
-    out = _match_horizontal(ts_left, ts_right, x_rect, t, valid, mask, rig,
-                            cfg, swap_patch=False)
+            cost=out.cost, disparity=out.disparity, valid=out.valid), stats
+    out, stats = _match_horizontal(ts_left, ts_right, x_rect, t, valid,
+                                   mask, rig, cfg, swap_patch=False)
     return EventMatches(x_left=x_rect, x_left_raw=x_raw, x_right=out.x_right,
                         t=t, inv_depth=out.inv_depth, cost=out.cost,
-                        disparity=out.disparity, valid=out.valid)
+                        disparity=out.disparity, valid=out.valid), stats
 
 
 def _match_horizontal(ts_left, ts_right, x_rect, t, valid, mask, rig, cfg,
-                      swap_patch: bool) -> EventMatches:
+                      swap_patch: bool):
     H, W = ts_left.shape
     wx = cfg.patch_size_y if swap_patch else cfg.patch_size_x
     wy = cfg.patch_size_x if swap_patch else cfg.patch_size_y
@@ -208,7 +224,8 @@ def _match_horizontal(ts_left, ts_right, x_rect, t, valid, mask, rig, cfg,
     cost_vol = jnp.take(cost_cube.reshape(-1, D), flat, axis=0)  # (N, D)
     dark = jnp.take(dark_l.reshape(-1), flat)
     # low info-noise-ratio rejection (EventBM.cpp:104-109)
-    inb = inb & (dark <= 0.95 * P_area)
+    noise_low = inb & (dark > 0.95 * P_area)
+    inb = inb & ~noise_low
 
     ds = jnp.arange(dmin, dmax + 1, dtype=jnp.int32)[None, :]
     ok_vol = (ui[:, None] - ds - hx >= 1) & (ui[:, None] - ds + hx < W - 1)
@@ -219,7 +236,36 @@ def _match_horizontal(ts_left, ts_right, x_rect, t, valid, mask, rig, cfg,
     best_disp = (best + dmin).astype(dtype)
     best_ok = jnp.take_along_axis(ok_vol, best[:, None], axis=1)[:, 0]
 
-    matched = inb & best_ok & (best_cost <= cfg.zncc_threshold)
+    # local-minimum acceptance (EventBM.cpp:207-225): the minimum must
+    # have BOTH neighbour disparities as valid candidates — rejects
+    # minima sitting at the search-range boundary, where the cost curve
+    # cannot be verified to turn upward.
+    if cfg.check_local_minimum:
+        lo_ok = (best >= 1) & jnp.take_along_axis(
+            ok_vol, jnp.maximum(best - 1, 0)[:, None], axis=1)[:, 0]
+        hi_ok = (best <= D - 2) & jnp.take_along_axis(
+            ok_vol, jnp.minimum(best + 1, D - 1)[:, None], axis=1)[:, 0]
+        local_min_ok = lo_ok & hi_ok
+    else:
+        local_min_ok = jnp.ones_like(best_ok)
+
+    below_thresh = best_cost <= cfg.zncc_threshold
+    matched = inb & best_ok & below_thresh & local_min_ok
+
+    # failure taxonomy (EventBM.cpp:228-248): coarse fail = no
+    # below-threshold minimum; fine fail = minimum rejected by the
+    # neighbour-validity test.
+    stats = {
+        "input": jnp.sum(valid).astype(jnp.int32),
+        "out_of_bounds": jnp.sum(valid & ~inb & ~noise_low)
+        .astype(jnp.int32),
+        "info_noise_low": jnp.sum(noise_low).astype(jnp.int32),
+        "coarse_fail": jnp.sum(inb & ~(best_ok & below_thresh))
+        .astype(jnp.int32),
+        "fine_fail": jnp.sum(inb & best_ok & below_thresh & ~local_min_ok)
+        .astype(jnp.int32),
+        "matched": jnp.sum(matched).astype(jnp.int32),
+    }
 
     # triangulate: depth = b * f / d (EventBM.cpp:141-152)
     fx = rig.left.params.P[0, 0]
@@ -231,4 +277,4 @@ def _match_horizontal(ts_left, ts_right, x_rect, t, valid, mask, rig, cfg,
     return EventMatches(
         x_left=x_rect, x_left_raw=x_rect, x_right=x_right, t=t,
         inv_depth=inv_depth, cost=jnp.where(matched, best_cost, 1.0),
-        disparity=jnp.where(matched, best_disp, 0.0), valid=matched)
+        disparity=jnp.where(matched, best_disp, 0.0), valid=matched), stats

@@ -117,9 +117,15 @@ def propagate_points(est: DepthEstimates, T_frame_world: jax.Array,
     J2 = J * J
 
     if cfg.ls_norm == "Tdist":
-        scale2 = J2 * est.scale2
         nu = est.nu
-        variance = nu / (nu - 2.0) * scale2
+        # Estimates carrying nu=inf (SGM bootstrap, EM/BM pseudo points) have
+        # no Student-t scale; nu/(nu-2)*scale2 would be inf/inf = NaN. Fall
+        # back to the Gaussian propagation rule for those points.
+        finite_nu = jnp.isfinite(nu)
+        scale2_t = J2 * est.scale2
+        var_g = J2 * est.variance
+        variance = jnp.where(finite_nu, nu / (nu - 2.0) * scale2_t, var_g)
+        scale2 = jnp.where(finite_nu, scale2_t, var_g)
     else:
         variance = J2 * est.variance
         scale2 = variance
@@ -380,23 +386,27 @@ def naive_fuse_frame(grid: DepthGrid, cand: Candidates, camera: Camera,
     slot_idx = jnp.where(keep, rank * (H * W) + pix_sorted, H * W * K)
 
     dt = tiled.inv_depth.dtype
-    packed = jnp.concatenate([
-        tiled.inv_depth[order, None], tiled.variance[order, None],
-        tiled.residual[order, None], tiled.age[order, None].astype(dt),
-        tiled.p_cam[order], tiled.valid[order, None].astype(dt),
-    ], axis=1)                                         # (M, 8)
-    buf = jnp.zeros((H * W * K, packed.shape[1]), dt)
-    buf = buf.at[slot_idx].set(packed, mode="drop") \
-             .reshape(K, H, W, -1)
+    # channel-major (C, M) scatter — same layout rationale as fuse_frame:
+    # a (slots, 8) row scatter pads the 8-wide minor dim to 128 lanes
+    packed = jnp.stack([
+        tiled.inv_depth[order], tiled.variance[order],
+        tiled.residual[order], tiled.age[order].astype(dt),
+        tiled.p_cam[order, 0], tiled.p_cam[order, 1],
+        tiled.p_cam[order, 2], tiled.valid[order].astype(dt),
+    ], axis=0)                                         # (C, M)
+    C = packed.shape[0]
+    buf = jnp.zeros((C, H * W * K), dt)
+    buf = buf.at[:, slot_idx].set(packed, mode="drop") \
+             .reshape(C, K, H, W)
 
     P = camera.params.P
     for k in range(K):
-        c_ok = buf[k, :, :, 7] > 0.5
-        c_invD = buf[k, :, :, 0]
-        c_var = buf[k, :, :, 1]
-        c_res = buf[k, :, :, 2]
-        c_age = buf[k, :, :, 3].astype(jnp.int32)
-        c_p = buf[k, :, :, 4:7]
+        c_ok = buf[7, k] > 0.5
+        c_invD = buf[0, k]
+        c_var = buf[1, k]
+        c_res = buf[2, k]
+        c_age = buf[3, k].astype(jnp.int32)
+        c_p = jnp.stack([buf[4, k], buf[5, k], buf[6, k]], axis=-1)
         occ = grid.occupied
         ins = c_ok & ~occ
         # occupied: skip if existing point is closer (larger invDepth);

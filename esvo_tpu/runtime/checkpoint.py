@@ -6,8 +6,7 @@ TPU build saves the complete system state — per-pixel timestamp grids,
 depth-fusion window, current depth frame, pose table, trajectory, state
 machine — and restores it exactly.
 
-Format: orbax-checkpoint when available, else a .npz fallback with an
-identical logical layout.
+Format: a flat .npz archive plus a JSON sidecar for host-side scalars.
 """
 from __future__ import annotations
 
@@ -54,6 +53,7 @@ def _meta(system: EsvoSystem) -> dict:
         "hist_slot": system._hist_slot,
         "frames_filled": system._frames_filled,
         "last_tick_time": system.last_tick_time,
+        "last_mapping_time": system.last_mapping_time,
         "stats": system.stats,
     }
 
@@ -99,10 +99,15 @@ def load_checkpoint(system: EsvoSystem, path: str) -> EsvoSystem:
     system._hist_slot = int(meta["hist_slot"])
     system._frames_filled = int(meta["frames_filled"])
     system.last_tick_time = meta["last_tick_time"]
+    system.last_mapping_time = meta.get("last_mapping_time")
     system.stats = meta["stats"]
-    # rebuild the tracker's map-point cache from the restored frame
+    # rebuild the tracker's map-point cache (and its REF_HISTORY head)
+    # from the restored frame
     if system.status == SystemStatus.WORKING:
         system.grid, system._map_pts, system._map_ok, _, _ = \
             system._rebuild_frame(system.history,
                                   jnp.asarray(system.T_world_frame, dt))
+        system._ref_maps = []
+        system._push_ref_map(system._map_pts, system._map_ok,
+                             int(jnp.sum(system._map_ok)))
     return system

@@ -36,7 +36,10 @@ class MappingConfig:
     denoising: bool = True
     regularization: bool = True
     process_event_num: int = 1000
-    ts_history_length: int = 100
+    # NOTE: the reference's TS_HISTORY_LENGTH (100 surfaces,
+    # esvo_Mapping.cpp:756-761) has no equivalent here: the synchronous
+    # loop always maps on the surface of the current tick, so no history
+    # buffer of surfaces is kept.
     init_sgm_num_threshold: int = 500
     mapping_rate_hz: float = 20.0
     bm_half_slice_thickness: float = 0.001
@@ -142,7 +145,6 @@ class SystemConfig:
                 denoising=bool(m.get("Denoising", True)),
                 regularization=bool(m.get("Regularization", True)),
                 process_event_num=int(m.get("PROCESS_EVENT_NUM", 1000)),
-                ts_history_length=int(m.get("TS_HISTORY_LENGTH", 100)),
                 init_sgm_num_threshold=int(
                     m.get("INIT_SGM_DP_NUM_THRESHOLD", 500)),
                 mapping_rate_hz=float(m.get("mapping_rate_hz", 20)),

@@ -74,13 +74,18 @@ class EsvoSystem:
     """Host-side orchestrator of the jitted pipeline stages."""
 
     def __init__(self, rig: StereoRig, config: SystemConfig | None = None,
-                 pose_table_size: int = 256, seed: int = 0):
+                 pose_table_size: int = 1024, seed: int = 0,
+                 emit_debug_maps: bool = False):
         self.rig = rig
         self.cfg = config or SystemConfig()
         self.H = rig.left.height
         self.W = rig.left.width
         self.dtype = rig.left.lut.dtype
         self.status = SystemStatus.INITIALIZATION
+        # per-cycle debug-map rendering (reference publishMappingResults,
+        # esvo_Mapping.cpp:868-907 + reprojection map,
+        # RegProblemSolverLM.cpp:106-136)
+        self.emit_debug_maps = emit_debug_maps
 
         m = self.cfg.mapping
         self.N = m.process_event_num
@@ -127,10 +132,19 @@ class EsvoSystem:
         self.traj_poses: list[np.ndarray] = []
         self.status = SystemStatus.INITIALIZATION
         self.last_tick_time: float | None = None
+        self.last_mapping_time: float | None = None
         self.events_since_last_obs = 0
-        self.stats = {"fusions": 0, "dropped": 0, "map_points": 0}
+        self.stats = {"fusions": 0, "dropped": 0, "map_points": 0,
+                      "low_event_ticks": 0, "pose_miss_skips": 0,
+                      "bm": {}}
+        # REF_HISTORY (esvo_Tracking.cpp:279-292): ring of the most recent
+        # map exports so tracking can fall back when a cycle collapses
+        self._ref_maps: list[tuple] = []   # (pts, ok, n_points)
         self._map_pts = None
         self._map_ok = None
+        # accumulated voxel-downsampled global cloud
+        # (esvo_Mapping.cpp:909-978)
+        self._global_voxels: dict = {}
 
     # ------------------------------------------------------------------
     # compiled programs
@@ -187,8 +201,9 @@ class EsvoSystem:
             # per-event virtual-view pose
             T_wv = interpolate_pose_table(pose_times, pose_tab,
                                           ev_t.astype(pose_tab.dtype))
-            matches = bm.match_events(ts_l, ts_r, x_rect, x_rect, ev_t,
-                                      ev_valid, rig.left.mask, rig, cfg.bm)
+            matches, bm_stats = bm.match_events_stats(
+                ts_l, ts_r, x_rect, x_rect, ev_t, ev_valid, rig.left.mask,
+                rig, cfg.bm)
             T_left_world = se3_inverse(T_world_frame)
             T_lv = jnp.einsum("ij,njk->nik", T_left_world, T_wv)
             est = dr.solve(matches.x_left, T_wv, T_lv, matches.inv_depth,
@@ -197,7 +212,7 @@ class EsvoSystem:
                 est, cfg.mapping.std_var_vis_threshold,
                 cfg.cost_vis_threshold, cfg.mapping.inv_depth_min_range,
                 cfg.mapping.inv_depth_max_range)
-            return est, jnp.sum(est.valid)
+            return est, jnp.sum(est.valid), bm_stats
 
         self._map_estimate = map_estimate
 
@@ -297,16 +312,60 @@ class EsvoSystem:
         self._hist_slot = (self._hist_slot + 1) % self.F
         self._frames_filled = min(self._frames_filled + 1, self.F)
 
+    def _push_ref_map(self, pts, ok, n_points: int):
+        """Append a map export to the REF_HISTORY ring
+        (esvo_Tracking.cpp:279-292 keeps REF_HISTORY_LENGTH=10 maps)."""
+        self._ref_maps.append((pts, ok, n_points))
+        R = self.cfg.tracking.ref_history_length
+        if len(self._ref_maps) > R:
+            self._ref_maps = self._ref_maps[-R:]
+
+    def _current_ref_map(self):
+        """Newest history map with enough points for registration, or
+        None. A collapsed newest cycle falls back to an older map instead
+        of dropping the system to INITIALIZATION immediately."""
+        need = self.cfg.tracker.batch_size
+        for pts, ok, n in reversed(self._ref_maps):
+            if n >= need:
+                return pts, ok, n
+        return None
+
+    def _accumulate_global_map(self, pts_world, occ, leaf: float = 0.01):
+        """Voxel-downsampled global cloud accumulation (the reference's
+        voxel-filtered pc_global_, esvo_Mapping.cpp:909-978). Host-side:
+        one representative point per occupied voxel, newest wins."""
+        p = np.asarray(pts_world).reshape(-1, 3)
+        m = np.asarray(occ).reshape(-1)
+        p = p[m]
+        if len(p) == 0:
+            return
+        keys = np.floor(p / leaf).astype(np.int64)
+        # pack 3x int into one key (21 bits each, offset to positive)
+        k = ((keys[:, 0] + (1 << 20)) << 42) \
+            + ((keys[:, 1] + (1 << 20)) << 21) + (keys[:, 2] + (1 << 20))
+        self._global_voxels.update(zip(k.tolist(), p))
+
+    def global_map(self) -> np.ndarray:
+        """(M, 3) accumulated voxel-downsampled world point cloud."""
+        if not self._global_voxels:
+            return np.zeros((0, 3))
+        return np.stack(list(self._global_voxels.values()))
+
     # ------------------------------------------------------------------
     # pipeline stages
     # ------------------------------------------------------------------
     def process_tick(self, t_sync: float, ev_left: dict, ev_right: dict,
                      gt_pose: np.ndarray | None = None,
-                     do_mapping: bool = True):
+                     do_mapping: bool | None = None):
         """One sync tick. ev_*: dicts from io.events.frame_events (single
         frame: arrays shaped (N,)). gt_pose: if given, the system runs in
         MVStereo mode (known poses, esvo_MVStereo.cpp) — tracking is
         bypassed.
+
+        do_mapping: True/False forces a mapping cycle on/off this tick;
+        None (default) schedules mapping from cfg.mapping.mapping_rate_hz
+        (the reference's 20 Hz mapper vs 100 Hz tracker,
+        cfg/mapping/mapping_rpg.yaml:21).
 
         Returns dict of per-tick outputs.
         """
@@ -316,6 +375,11 @@ class EsvoSystem:
             if dt < 0 or dt >= 0.5:
                 self.reset()
         self.last_tick_time = t_sync
+        if do_mapping is None:
+            period = 1.0 / self.cfg.mapping.mapping_rate_hz
+            do_mapping = (self.last_mapping_time is None
+                          or t_sync - self.last_mapping_time
+                          >= period - 1e-9)
 
         out = {"t": t_sync, "status": self.status.value}
         self.ts_state_left, self.ts_state_right, ts_l, ts_r = \
@@ -328,19 +392,31 @@ class EsvoSystem:
         out["ts_left"] = ts_l
         out["ts_right"] = ts_r
         self.events_since_last_obs = int(np.sum(ev_left["valid"]))
+        # too few fresh events: log-and-continue guard
+        # (RegProblemSolverLM.cpp:47-51 — "the system remains to work")
+        if self.events_since_last_obs < self.cfg.tracker.min_num_events:
+            self.stats["low_event_ticks"] += 1
+            out["low_events"] = True
 
+        ref = self._current_ref_map()
         if gt_pose is not None:
             self.record_pose(t_sync, gt_pose)
-        elif self.status == SystemStatus.WORKING \
-                and self.stats["map_points"] >= self.cfg.tracker.batch_size:
+        elif self.status == SystemStatus.WORKING and ref is not None:
             # ---- tracking (esvo_Tracking.cpp:79-160) ----
+            ref_pts, ref_ok, ref_n = ref
             self._key, sub = jax.random.split(self._key)
             T_est, rms, nsel = self._track(
                 ts_l, jnp.asarray(self.T_world_frame, self.dtype),
                 jnp.asarray(self.T_world_cur, self.dtype),
-                self._map_pts, self._map_ok, sub)
+                ref_pts, ref_ok, sub)
             self.record_pose(t_sync, np.asarray(T_est, np.float64))
-            out["tracking_rms"] = np.asarray(rms)
+            rms = np.asarray(rms)  # (max_iteration,) per-round rms
+            out["tracking_rms"] = rms
+            # LM_statics analogue (RegProblemSolverLM.h:26-31)
+            out["lm_stats"] = {
+                "n_points": int(nsel),
+                "n_iter": self.cfg.tracker.max_iteration,
+                "rms": float(rms[-1])}
 
         self.traj_times.append(t_sync)
         self.traj_poses.append(self.T_world_cur.copy())
@@ -365,17 +441,40 @@ class EsvoSystem:
                     self._seed_frame(self.history,
                                      jnp.asarray(T_wf, self.dtype))
                 self.stats["map_points"] = int(jnp.sum(self._map_ok))
+                self._push_ref_map(self._map_pts, self._map_ok,
+                                   self.stats["map_points"])
                 self.status = SystemStatus.WORKING
+                self.last_mapping_time = t_sync
         else:
+            # pose availability guard (getPoseAt returns false -> the
+            # mapper skips the cycle, esvo_Mapping.cpp:630-667): when the
+            # pose table's window no longer covers the oldest event in
+            # this frame, skip rather than clamp to a wrong pose.
+            ev_t_arr = np.asarray(ev_left["t"])
+            ev_ok_arr = np.asarray(ev_left["valid"])
+            if ev_ok_arr.any() and len(self.pose_times) > 1:
+                oldest_needed = float(ev_t_arr[ev_ok_arr].min())
+                oldest_avail = self.pose_times[
+                    max(len(self.pose_times) - self.pose_table_size, 0)]
+                if oldest_needed < oldest_avail - 1e-9:
+                    self.stats["pose_miss_skips"] += 1
+                    out["pose_miss_skip"] = True
+                    out["map_points"] = self.stats["map_points"]
+                    return out
             # ---- mapping cycle (esvo_Mapping.cpp:261-431) ----
             pt_t, pt_T = self._pose_table()
-            est, n = self._map_estimate(
+            est, n, bm_stats = self._map_estimate(
                 ts_l, ts_r, jnp.asarray(ev_left["x"]),
                 jnp.asarray(ev_left["y"]),
                 jnp.asarray(ev_left["t"], self.dtype),
                 jnp.asarray(ev_left["valid"]), pt_t, pt_T,
                 jnp.asarray(T_wf, self.dtype))
             out["map_estimates"] = int(n)
+            bm_stats = {k: int(v) for k, v in bm_stats.items()}
+            out["bm_stats"] = bm_stats
+            self.stats["bm"] = {
+                k: self.stats["bm"].get(k, 0) + v
+                for k, v in bm_stats.items()}
             self._push_history(est)
             self.T_world_frame = T_wf
             self.grid, self._map_pts, self._map_ok, nf, nd = \
@@ -384,13 +483,19 @@ class EsvoSystem:
             self.stats["fusions"] += int(nf)
             self.stats["dropped"] += int(nd)
             self.stats["map_points"] = int(jnp.sum(self._map_ok))
-            # degrade to INITIALIZATION when the map collapses
-            # (esvo_Tracking.cpp:163-168, RegProblemSolverLM.cpp:45-57)
-            if gt_pose is None and \
-                    self.stats["map_points"] < self.cfg.tracker.batch_size:
+            self._push_ref_map(self._map_pts, self._map_ok,
+                               self.stats["map_points"])
+            self._accumulate_global_map(self._map_pts, self._map_ok)
+            self.last_mapping_time = t_sync
+            # degrade to INITIALIZATION only when no history map can
+            # support registration (esvo_Tracking.cpp:163-168,
+            # RegProblemSolverLM.cpp:52-57 + REF_HISTORY fallback)
+            if gt_pose is None and self._current_ref_map() is None:
                 self.status = SystemStatus.INITIALIZATION
                 self._frames_filled = 0
         out["map_points"] = self.stats["map_points"]
+        if self.emit_debug_maps:
+            out["maps"] = self.render_debug_maps()
         return out
 
     # ------------------------------------------------------------------
@@ -409,3 +514,31 @@ class EsvoSystem:
         """(inv_depth (H, W), valid (H, W)) of the current frame."""
         return (np.asarray(self.grid.inv_depth),
                 np.asarray(self.grid.occupied))
+
+    def render_debug_maps(self) -> dict:
+        """The reference's per-cycle debug images (publishMappingResults,
+        esvo_Mapping.cpp:868-907): invDepth / stdVar / age / cost false-
+        color maps, plus the tracker's reprojection overlay
+        (RegProblemSolverLM.cpp:106-136). Returns (H, W, 3) uint8 arrays."""
+        from esvo_tpu.utils import visualization as vis
+        m = self.cfg.mapping
+        occ = np.asarray(self.grid.occupied)
+        maps = {
+            "inv_depth": vis.plot_inv_depth_map(
+                self.grid.inv_depth, occ, m.inv_depth_min_range,
+                m.inv_depth_max_range),
+            "std_var": vis.plot_std_var_map(
+                self.grid.variance, occ, m.std_var_vis_threshold),
+            "age": vis.plot_age_map(self.grid.age, occ, m.age_max_range),
+            "cost": vis.plot_cost_map(
+                self.grid.residual, occ, self.cfg.cost_vis_threshold),
+        }
+        ref = self._current_ref_map()
+        if ref is not None:
+            maps["reprojection"] = vis.plot_reprojection_map(
+                np.asarray(ref[0]).reshape(-1, 3),
+                np.asarray(ref[1]).reshape(-1),
+                np.linalg.inv(self.T_world_cur),
+                np.asarray(self.rig.left.params.P),
+                self.H, self.W)
+        return maps

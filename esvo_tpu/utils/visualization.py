@@ -63,6 +63,36 @@ def plot_cost_map(residual: np.ndarray, valid: np.ndarray,
                      cost_threshold)
 
 
+def plot_reprojection_map(pts_world: np.ndarray, valid: np.ndarray,
+                          T_cam_world: np.ndarray, P: np.ndarray,
+                          height: int, width: int,
+                          background: np.ndarray | None = None):
+    """Tracking reprojection overlay (reference solve visualization,
+    RegProblemSolverLM.cpp:106-136): map points projected into the current
+    camera drawn in green over the (negative) time surface (or white).
+
+    pts_world: (M, 3); T_cam_world: current camera from world; P: (3, 4).
+    background: optional (H, W) grayscale image.
+    """
+    if background is None:
+        img = np.full((height, width, 3), 255, np.uint8)
+    else:
+        g = np.asarray(background).astype(np.uint8)
+        img = np.stack([g, g, g], axis=-1)
+    p = np.asarray(pts_world)[np.asarray(valid).astype(bool)]
+    if len(p):
+        pc = p @ np.asarray(T_cam_world)[:3, :3].T \
+            + np.asarray(T_cam_world)[:3, 3]
+        h = pc @ np.asarray(P)[:, :3].T + np.asarray(P)[:, 3]
+        z = h[:, 2]
+        ok = z > 1e-6
+        u = (h[:, 0] / np.maximum(z, 1e-6)).astype(np.int32)
+        v = (h[:, 1] / np.maximum(z, 1e-6)).astype(np.int32)
+        ok &= (u >= 0) & (u < width) & (v >= 0) & (v < height)
+        img[v[ok], u[ok]] = (0, 255, 0)
+    return img
+
+
 def plot_event_map(x: np.ndarray, y: np.ndarray, valid: np.ndarray,
                    height: int, width: int) -> np.ndarray:
     """Binary event map (plot_eventMap, Visualization.cpp:96-125):

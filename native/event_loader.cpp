@@ -16,6 +16,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <string>
 #include <vector>
 #include <algorithm>
 
@@ -83,6 +84,23 @@ void* el_load_txt(const char* path, int64_t max_events, int64_t* n_out) {
         }
       }
       ptr = nl + 1;
+    }
+  }
+  // file ended without a trailing newline: parse the carried partial line
+  if (!carry.empty() &&
+      (max_events <= 0 ||
+       static_cast<int64_t>(s->t.size()) < max_events)) {
+    char* cur = carry.data();
+    const char* line_start = cur;
+    double tv = std::strtod(cur, &cur);
+    long xv = std::strtol(cur, &cur, 10);
+    long yv = std::strtol(cur, &cur, 10);
+    long pv = std::strtol(cur, &cur, 10);
+    if (cur != line_start) {
+      s->t.push_back(tv);
+      s->x.push_back(static_cast<int32_t>(xv));
+      s->y.push_back(static_cast<int32_t>(yv));
+      s->p.push_back(static_cast<uint8_t>(pv != 0));
     }
   }
 done:

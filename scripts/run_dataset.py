@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Dataset-replay entry point: the launch-file analogue of the reference.
+
+Replaces the reference's rosbag replay orchestration
+(esvo_core/launch/system/system_rpg.launch:5-63,
+esvo_time_surface/launch/rosbag_launcher/rpg/rpg_bin.launch:1-13): load a
+dataset directory + calibration + reference-format parameter YAMLs, run
+the full EsvoSystem (closed loop or GT-pose MVStereo mode), export the
+TUM trajectory (esvo_Tracking.cpp:430-462) and report ATE when ground
+truth is present.
+
+Supported dataset layouts:
+  rpg text dir:   events_left.txt events_right.txt [groundtruth.txt]
+  MVSEC hdf5:     --mvsec data.h5 [--mvsec-gt gt.h5]
+  DSEC hdf5:      --dsec left.h5 right.h5
+
+Examples:
+  python scripts/run_dataset.py --dataset /data/rpg_bin \
+      --calib /ref/esvo_core/calib/rpg \
+      --mapping-yaml /ref/esvo_core/cfg/mapping/mapping_rpg.yaml \
+      --tracking-yaml /ref/esvo_core/cfg/tracking/tracking_rpg.yaml \
+      --ts-yaml /ref/esvo_core/cfg/time_surface/ts_parameters.yaml \
+      --out traj.txt
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    src = ap.add_argument_group("dataset source (pick one)")
+    src.add_argument("--dataset", help="rpg-format directory "
+                     "(events_left.txt / events_right.txt / groundtruth.txt)")
+    src.add_argument("--mvsec", help="MVSEC data hdf5 (stereo davis)")
+    src.add_argument("--mvsec-gt", help="MVSEC ground-truth hdf5")
+    src.add_argument("--dsec", nargs=2, metavar=("LEFT_H5", "RIGHT_H5"),
+                     help="DSEC left/right event hdf5 files")
+    ap.add_argument("--calib", required=True,
+                    help="calibration dir holding left.yaml/right.yaml "
+                         "(reference esvo_core/calib/<dataset> format)")
+    ap.add_argument("--mapping-yaml", help="reference mapping cfg YAML")
+    ap.add_argument("--tracking-yaml", help="reference tracking cfg YAML")
+    ap.add_argument("--ts-yaml", help="reference time-surface cfg YAML")
+    ap.add_argument("--mode", choices=["closed", "mvstereo"],
+                    default="closed",
+                    help="closed = full mapping<->tracking loop; mvstereo = "
+                         "GT poses (requires ground truth)")
+    ap.add_argument("--tick-rate-hz", type=float, default=100.0,
+                    help="sync-tick rate (reference /sync timer, 100 Hz)")
+    ap.add_argument("--start", type=float, default=0.0,
+                    help="seconds into the stream to start")
+    ap.add_argument("--duration", type=float, default=None,
+                    help="seconds to process (default: whole stream)")
+    ap.add_argument("--capacity", type=int, default=None,
+                    help="events per tick frame (default: 4x "
+                         "PROCESS_EVENT_NUM)")
+    ap.add_argument("--max-events", type=int, default=None,
+                    help="cap loaded events (smoke runs)")
+    ap.add_argument("--out", default="trajectory.txt",
+                    help="TUM trajectory output path")
+    ap.add_argument("--debug-maps",
+                    help="directory: dump invDepth/stdVar/age/cost/"
+                         "reprojection PNGs every mapping cycle")
+    ap.add_argument("--global-map-out",
+                    help="write the accumulated voxel-downsampled global "
+                         "point cloud (xyz text) here")
+    ap.add_argument("--checkpoint-every", type=float, default=None,
+                    help="seconds between checkpoints")
+    ap.add_argument("--checkpoint-dir", default="ckpt")
+    ap.add_argument("--resume", help="checkpoint dir to resume from")
+    ap.add_argument("--quiet", action="store_true")
+    return ap.parse_args(argv)
+
+
+def load_events(args):
+    """Returns (ev_left, ev_right, gt_times, gt_poses)."""
+    if args.dataset:
+        from esvo_tpu.io.datasets import load_rpg_dataset
+        return load_rpg_dataset(args.dataset, args.max_events)
+    if args.mvsec:
+        from esvo_tpu.io.datasets import (load_mvsec_events,
+                                          load_mvsec_gt_poses)
+        ev_l = load_mvsec_events(args.mvsec, "left", args.max_events)
+        ev_r = load_mvsec_events(args.mvsec, "right", args.max_events)
+        gt_t, gt_T = (None, None)
+        if args.mvsec_gt:
+            gt_t, gt_T = load_mvsec_gt_poses(args.mvsec_gt, "left")
+            gt_t = gt_t - ev_l.t_offset  # same session origin as events
+        return ev_l, ev_r, gt_t, gt_T
+    if args.dsec:
+        from esvo_tpu.io.datasets import load_dsec_events
+        ev_l = load_dsec_events(args.dsec[0], args.max_events)
+        ev_r = load_dsec_events(args.dsec[1], args.max_events)
+        return ev_l, ev_r, None, None
+    raise SystemExit("no dataset source given (--dataset/--mvsec/--dsec)")
+
+
+def interpolate_gt(gt_times, gt_poses, t):
+    """Linear interpolation of GT pose at time t (translation lerp +
+    nearest rotation — adequate at 100 Hz tick spacing)."""
+    i = np.searchsorted(gt_times, t)
+    i = np.clip(i, 1, len(gt_times) - 1)
+    t0, t1 = gt_times[i - 1], gt_times[i]
+    a = 0.0 if t1 <= t0 else np.clip((t - t0) / (t1 - t0), 0.0, 1.0)
+    T = gt_poses[i] if a > 0.5 else gt_poses[i - 1]
+    T = T.copy()
+    T[:3, 3] = (1 - a) * gt_poses[i - 1][:3, 3] + a * gt_poses[i][:3, 3]
+    return T
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from esvo_tpu.geometry.camera import load_rig
+    from esvo_tpu.io.events import frame_events
+    from esvo_tpu.runtime.config import SystemConfig
+    from esvo_tpu.runtime.system import EsvoSystem, SystemStatus
+    from esvo_tpu.eval.trajectory import save_tum, ate_rmse
+
+    rig = load_rig(args.calib)
+    cfg = SystemConfig.from_yaml(args.mapping_yaml, args.tracking_yaml,
+                                 args.ts_yaml)
+
+    ev_l, ev_r, gt_times, gt_poses = load_events(args)
+    if args.mode == "mvstereo" and gt_times is None:
+        raise SystemExit("--mode mvstereo requires ground-truth poses")
+
+    t_end_stream = float(min(ev_l.t[-1], ev_r.t[-1]))
+    t0 = args.start
+    t1 = min(t_end_stream,
+             t0 + args.duration if args.duration else t_end_stream)
+    tick = 1.0 / args.tick_rate_hz
+    sync_times = np.arange(t0 + tick, t1, tick)
+    capacity = args.capacity or 4 * cfg.mapping.process_event_num
+    if not args.quiet:
+        print(f"[run_dataset] {len(ev_l)} + {len(ev_r)} events, "
+              f"{len(sync_times)} ticks @ {args.tick_rate_hz:g} Hz, "
+              f"capacity {capacity}")
+
+    frames_l = frame_events(ev_l.slice_time(t0, t1), sync_times, capacity)
+    frames_r = frame_events(ev_r.slice_time(t0, t1), sync_times, capacity)
+
+    system = EsvoSystem(rig, cfg,
+                        emit_debug_maps=bool(args.debug_maps))
+    if args.resume:
+        from esvo_tpu.runtime.checkpoint import load_checkpoint
+        load_checkpoint(system, args.resume)
+
+    if args.debug_maps:
+        os.makedirs(args.debug_maps, exist_ok=True)
+
+    last_ckpt = t0
+    wall0 = time.perf_counter()
+    for k, t_sync in enumerate(sync_times):
+        fl = {key: v[k] for key, v in frames_l.items() if key != "dropped"}
+        fr = {key: v[k] for key, v in frames_r.items() if key != "dropped"}
+        gt = None
+        if args.mode == "mvstereo":
+            gt = interpolate_gt(gt_times, gt_poses, t_sync)
+        out = system.process_tick(float(t_sync), fl, fr, gt_pose=gt)
+        if args.debug_maps and "maps" in out:
+            _dump_maps(args.debug_maps, k, out["maps"])
+        if args.checkpoint_every and \
+                t_sync - last_ckpt >= args.checkpoint_every:
+            from esvo_tpu.runtime.checkpoint import save_checkpoint
+            save_checkpoint(system, args.checkpoint_dir)
+            last_ckpt = t_sync
+        if not args.quiet and k % 100 == 99:
+            wall = time.perf_counter() - wall0
+            print(f"  tick {k + 1}/{len(sync_times)} "
+                  f"status={out['status']} map={out.get('map_points', 0)} "
+                  f"({(k + 1) / wall:.1f} ticks/s)")
+
+    wall = time.perf_counter() - wall0
+    system.save_trajectory(args.out)
+    if not args.quiet:
+        print(f"[run_dataset] {len(sync_times)} ticks in {wall:.1f} s "
+              f"({len(sync_times) / max(wall, 1e-9):.1f} ticks/s); "
+              f"trajectory -> {args.out}")
+        print(f"  stats: {system.stats}")
+
+    if args.global_map_out:
+        gm = system.global_map()
+        np.savetxt(args.global_map_out, gm, fmt="%.6f")
+        if not args.quiet:
+            print(f"  global map: {len(gm)} voxels -> "
+                  f"{args.global_map_out}")
+
+    result = {"ticks": len(sync_times), "wall_s": wall,
+              "stats": system.stats}
+    if gt_times is not None and args.mode == "closed":
+        t_est, T_est = system.trajectory()
+        ate = ate_rmse(t_est, T_est, gt_times, gt_poses, align=True)
+        result["ate_rmse_m"] = float(ate)
+        if not args.quiet:
+            print(f"  ATE RMSE vs GT: {ate:.4f} m")
+    return result
+
+
+def _dump_maps(outdir, k, maps):
+    try:
+        import imageio.v2 as imageio
+        writer = lambda p, img: imageio.imwrite(p, img)
+        ext = "png"
+    except ImportError:
+        writer = lambda p, img: np.save(p, img)
+        ext = "npy"
+    for name, img in maps.items():
+        writer(os.path.join(outdir, f"{name}_{k:06d}.{ext}"), img)
+
+
+if __name__ == "__main__":
+    main()

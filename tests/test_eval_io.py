@@ -87,12 +87,23 @@ def test_frame_events_and_txt_loader(tmp_path):
     assert frames["t"][1, :frames["valid"][1].sum()].max() <= 0.06 + 1e-6
 
 
-def test_native_loader_matches_python(tmp_path):
-    from esvo_tpu.io.native import (get_lib, load_events_native,
-                                    frame_events_native)
-    if get_lib() is None:
+def _native_lib_or_skip():
+    """get_lib() returns None only when g++ is absent; a broken build with
+    a present toolchain raises (must FAIL the test, not skip)."""
+    import shutil
+    from esvo_tpu.io.native import get_lib
+    lib = get_lib()  # raises RuntimeError on compile failure
+    if lib is None:
+        assert shutil.which("g++") is None, \
+            "get_lib() returned None despite g++ being on PATH"
         import pytest
-        pytest.skip("no C++ toolchain")
+        pytest.skip("g++ not installed")
+    return lib
+
+
+def test_native_loader_matches_python(tmp_path):
+    from esvo_tpu.io.native import (load_events_native, frame_events_native)
+    _native_lib_or_skip()
     rng = np.random.default_rng(5)
     n = 500
     t = np.sort(rng.uniform(0, 0.5, n))
@@ -116,6 +127,21 @@ def test_native_loader_matches_python(tmp_path):
     for k in ("x", "y", "p", "valid", "dropped"):
         np.testing.assert_array_equal(f_py[k], f_c[k], err_msg=k)
     np.testing.assert_allclose(f_py["t"], f_c["t"], atol=1e-6)
+
+
+def test_native_loader_no_trailing_newline(tmp_path):
+    """The last line must not be dropped when the file lacks a final \\n
+    (ADVICE r1: carry buffer was discarded at EOF)."""
+    from esvo_tpu.io.native import load_events_native
+    _native_lib_or_skip()
+    path = str(tmp_path / "events.txt")
+    with open(path, "w") as f:
+        f.write("0.100 1 2 1\n0.200 3 4 0\n0.300 5 6 1")  # no trailing \n
+    ev = load_events_native(path)
+    assert len(ev) == 3
+    np.testing.assert_allclose(ev.t, [0.1, 0.2, 0.3], atol=1e-9)
+    np.testing.assert_array_equal(ev.x, [1, 3, 5])
+    np.testing.assert_array_equal(ev.p, [True, False, True])
 
 
 def test_visualization_maps():
