@@ -123,11 +123,24 @@ def reprojection_residuals(prob: BAProblem):
         jnp.where(mask[..., None], Jp, 0.0), ok
 
 
-def _gn_step(prob: BAProblem, cfg: BAConfig, lam):
+def _gn_step(prob: BAProblem, cfg: BAConfig, lam, axis_name=None):
     """One damped Schur-complement GN step. Returns (dx_poses (K,6),
-    dpoints (P,3), cost)."""
+    dpoints (P,3), cost).
+
+    Assembly is fully *observation-indexed*: the Schur cross-term
+    S_{kl} = sum_p E_{p,k} C_p^-1 E_{p,l}^T never materializes the
+    per-(point, keyframe) block tensor (P, K, 6, 3) — it is built
+    column-by-column with segment sums over observations, so memory is
+    O(M + P + K^2) and the window can grow past the local 6-keyframe
+    case. With `axis_name` set, the observation axis is sharded across a
+    device mesh (shard_map) and every segment-sum reduces with a psum —
+    this is the distributed Schur reduction from SURVEY.md section 2
+    (replacing the reference's thread striping, DepthProblemSolver.cpp:80-90).
+    """
     K = prob.T_world_kf.shape[0]
     P = prob.points.shape[0]
+    psum = ((lambda x: jax.lax.psum(x, axis_name)) if axis_name
+            else (lambda x: x))
     r, Jc, Jp, ok = reprojection_residuals(prob)
 
     # Huber IRLS weights on the residual norm
@@ -135,39 +148,46 @@ def _gn_step(prob: BAProblem, cfg: BAConfig, lam):
     w = jnp.where(rn > cfg.huber_threshold,
                   cfg.huber_threshold / jnp.maximum(rn, 1e-12), 1.0)
     w = jnp.where(ok, w, 0.0)
-    cost = jnp.sum(w * rn * rn)
+    cost = psum(jnp.sum(w * rn * rn))
 
     wJc = Jc * w[:, None, None]
     wJp = Jp * w[:, None, None]
 
     # normal-equation blocks via segment sums
-    B = jnp.zeros((K, 6, 6)).at[prob.obs_kf].add(
-        jnp.einsum("nij,nik->njk", wJc, Jc))             # (K, 6, 6)
-    C = jnp.zeros((P, 3, 3)).at[prob.obs_point].add(
-        jnp.einsum("nij,nik->njk", wJp, Jp))             # (P, 3, 3)
-    gc = jnp.zeros((K, 6)).at[prob.obs_kf].add(
-        jnp.einsum("nij,ni->nj", wJc, r))
-    gp = jnp.zeros((P, 3)).at[prob.obs_point].add(
-        jnp.einsum("nij,ni->nj", wJp, r))
+    B = psum(jnp.zeros((K, 6, 6)).at[prob.obs_kf].add(
+        jnp.einsum("nij,nik->njk", wJc, Jc)))            # (K, 6, 6)
+    C = psum(jnp.zeros((P, 3, 3)).at[prob.obs_point].add(
+        jnp.einsum("nij,nik->njk", wJp, Jp)))            # (P, 3, 3)
+    gc = psum(jnp.zeros((K, 6)).at[prob.obs_kf].add(
+        jnp.einsum("nij,ni->nj", wJc, r)))
+    gp = psum(jnp.zeros((P, 3)).at[prob.obs_point].add(
+        jnp.einsum("nij,ni->nj", wJp, r)))
 
     # LM damping on the diagonals
     B = B + lam * jnp.eye(6)[None] * B + 1e-8 * jnp.eye(6)
     C = C + lam * jnp.eye(3)[None] * C + 1e-8 * jnp.eye(3)
     Cinv = _inv3_batched(C)                              # (P, 3, 3)
 
-    # E_{p,k} = sum over obs of point p in keyframe k of Jc^T W Jp,
-    # assembled densely per (point, keyframe) — local BA has small K
+    # E_obs_n = Jc_n^T W_n Jp_n; F_n = E_obs_n C_{p(n)}^-1
     E_obs = jnp.einsum("nij,nik->njk", wJc, Jp)          # (M, 6, 3)
-    E_pt = jnp.zeros((P, K, 6, 3)).at[prob.obs_point, prob.obs_kf] \
-        .add(E_obs)
+    F = jnp.einsum("nab,nbc->nac", E_obs, Cinv[prob.obs_point])  # (M, 6, 3)
 
-    # full reduced camera system (K, K, 6, 6):
-    # S_{kl} = B_k delta_{kl} - sum_p E_{p,k} C_p^-1 E_{p,l}^T
-    S_off = jnp.einsum("pkab,pbc,pldc->klad", E_pt, Cinv, E_pt)
-    S_blocks = -S_off
+    # Schur cross-term, one keyframe column at a time:
+    # S_{kl} = sum_n [kf(n)=k] F_n A_{p(n),l}^T with
+    # A_{p,l} = sum_{m: point(m)=p, kf(m)=l} E_obs_m
+    def s_off_col(l):
+        sel = (prob.obs_kf == l)[:, None, None]
+        A = psum(jnp.zeros((P, 6, 3)).at[prob.obs_point].add(
+            jnp.where(sel, E_obs, 0.0)))                 # (P, 6, 3)
+        contrib = jnp.einsum("nab,ncb->nac", F, A[prob.obs_point])
+        return psum(jnp.zeros((K, 6, 6)).at[prob.obs_kf].add(contrib))
+
+    S_off_cols = jax.lax.map(s_off_col, jnp.arange(K))   # (l, k, 6, 6)
+    S_blocks = -jnp.moveaxis(S_off_cols, 0, 1)           # (k, l, 6, 6)
     S_blocks = S_blocks.at[jnp.arange(K), jnp.arange(K)].add(B)
-    # reduced gradient: g_k = gc_k - sum_p E_{p,k} C_p^-1 gp_p
-    g_red = gc - jnp.einsum("pkab,pbc,pc->ka", E_pt, Cinv, gp)
+    # reduced gradient: g_k = gc_k - sum_n [kf(n)=k] F_n gp_{p(n)}
+    g_red = gc - psum(jnp.zeros((K, 6)).at[prob.obs_kf].add(
+        jnp.einsum("nab,nb->na", F, gp[prob.obs_point])))
 
     # gauge fixing: freeze the first num_fixed_poses keyframes
     fixed = jnp.arange(K) < cfg.num_fixed_poses
@@ -181,8 +201,9 @@ def _gn_step(prob: BAProblem, cfg: BAConfig, lam):
     dx = -jnp.linalg.solve(S_mat + 1e-9 * jnp.eye(K * 6), g_vec)
     dx_poses = dx.reshape(K, 6)
 
-    # back-substitute points: dp_p = -C_p^-1 (gp_p + sum_k E_{p,k}^T dxc_k)
-    Edx = jnp.einsum("pkab,ka->pb", E_pt, dx_poses)
+    # back-substitute: dp_p = -C_p^-1 (gp_p + sum_{n: p(n)=p} E_obs_n^T dx_{kf(n)})
+    Edx = psum(jnp.zeros((P, 3)).at[prob.obs_point].add(
+        jnp.einsum("nab,na->nb", E_obs, dx_poses[prob.obs_kf])))
     dpoints = -jnp.einsum("pij,pj->pi", Cinv, gp + Edx)
     return dx_poses, dpoints, cost
 
@@ -201,23 +222,30 @@ def _apply(prob: BAProblem, dx_poses, dpoints, cfg: BAConfig):
     return prob.replace(T_world_kf=T_new, points=prob.points + dpoints)
 
 
-def _cost_only(prob: BAProblem, cfg: BAConfig):
+def _cost_only(prob: BAProblem, cfg: BAConfig, axis_name=None):
     r, _, _, ok = reprojection_residuals(prob)
     rn = jnp.linalg.norm(r, axis=1)
     w = jnp.where(rn > cfg.huber_threshold,
                   cfg.huber_threshold / jnp.maximum(rn, 1e-12), 1.0)
     w = jnp.where(ok, w, 0.0)
-    return jnp.sum(w * rn * rn)
+    cost = jnp.sum(w * rn * rn)
+    return jax.lax.psum(cost, axis_name) if axis_name else cost
 
 
-def bundle_adjust(prob: BAProblem, cfg: BAConfig = BAConfig()):
-    """Run LM-damped Schur GN. Returns (problem, cost history (iters,))."""
+def bundle_adjust(prob: BAProblem, cfg: BAConfig = BAConfig(),
+                  axis_name=None):
+    """Run LM-damped Schur GN. Returns (problem, cost history (iters,)).
+
+    `axis_name`: when called inside shard_map with the observation axis
+    sharded, every segment reduction psums over that axis; poses and
+    points stay replicated (see sharded_bundle_adjust in
+    esvo_tpu.parallel.sharding)."""
 
     def step(carry, _):
         prob, lam = carry
-        dxp, dpt, cost = _gn_step(prob, cfg, lam)
+        dxp, dpt, cost = _gn_step(prob, cfg, lam, axis_name)
         trial = _apply(prob, dxp, dpt, cfg)
-        new_cost = _cost_only(trial, cfg)
+        new_cost = _cost_only(trial, cfg, axis_name)
         accept = new_cost < cost
         prob = jax.tree.map(
             lambda a, b: jnp.where(

@@ -104,7 +104,17 @@ def _tdist_weights(r: jax.Array, r2: jax.Array, nu: float, scale2_init,
     scale2 <- mean_i( r_i^2 (nu+1) / (nu + r_i^2/scale2) ) (zeros excluded
     from the sum but not the mean), 5% relative-change stopping -> here a
     fixed-trip loop with a freeze mask. r: (..., P).
+
+    The returned weights carry no tangent (stop_gradient): IRLS
+    Gauss-Newton differentiates sqrt(w)*r with the weights frozen. The
+    reference's NumericalDiff perturbation does include the weights'
+    sensitivity to d, but that term is second-order in the residual and
+    differentiating through the 10-trip fixed point tripled the jvp cost
+    of every LM iteration; convergence and variance statistics are
+    unchanged (test_solve_converges_to_true_depth).
     """
+    r = jax.lax.stop_gradient(r)
+    r2 = jax.lax.stop_gradient(r2)
     P = r.shape[-1]
     nonzero = r != 0.0
 
@@ -201,10 +211,17 @@ def _window_patch(win, oy_org, ox_org, x, wy, wx, Wy, Wx):
     """Bilinearly sample a (wy, wx) patch centred at sub-pixel x from a
     pre-gathered (Wy, Wx) window whose origin is (oy_org, ox_org).
 
-    The sample is two tiny matmuls patch = A @ win @ B^T with one-hot
-    bilinear row/column matrices — no gathers inside the LM loop. Exactly
-    equivalent to the reference's patchInterpolation while the source
-    patch stays inside the window.
+    The integer-aligned (wy+1, wx+1) source block is extracted with two
+    tiny one-hot matmuls src = A @ win @ B^T — no gathers inside the LM
+    loop — and the bilinear fractions are applied elementwise afterwards.
+    Keeping fx/fy OUT of the one-hot matrices matters: A and B are then
+    functions of integers only, so under `jax.jvp` their tangents are
+    symbolic zeros and the matmuls run once (primal only); the tangent
+    flows through the cheap elementwise combination. With the fractions
+    folded into A/B (the previous layout) the jvp tripled the matmul
+    count (dA @ win @ B^T + A @ win @ dB^T). Exactly equivalent to the
+    reference's patchInterpolation while the source patch stays inside
+    the window.
     """
     hy = (wy - 1) // 2
     hx = (wx - 1) // 2
@@ -216,15 +233,15 @@ def _window_patch(win, oy_org, ox_org, x, wy, wx, Wy, Wx):
     oy = v0.astype(jnp.int32) - hy - oy_org
     ox = u0.astype(jnp.int32) - hx - ox_org
     ok = (oy >= 0) & (ox >= 0) & (oy + wy + 1 <= Wy) & (ox + wx + 1 <= Wx)
-    jr = jnp.arange(wy, dtype=jnp.int32)[:, None]
+    jr = jnp.arange(wy + 1, dtype=jnp.int32)[:, None]
     c = jnp.arange(Wy, dtype=jnp.int32)[None, :]
-    A = jnp.where(c == oy + jr, 1.0 - fy, 0.0) \
-        + jnp.where(c == oy + jr + 1, fy, 0.0)          # (wy, Wy)
-    ic = jnp.arange(wx, dtype=jnp.int32)[:, None]
+    A = (c == oy + jr).astype(win.dtype)                # (wy+1, Wy)
+    ic = jnp.arange(wx + 1, dtype=jnp.int32)[:, None]
     c2 = jnp.arange(Wx, dtype=jnp.int32)[None, :]
-    B = jnp.where(c2 == ox + ic, 1.0 - fx, 0.0) \
-        + jnp.where(c2 == ox + ic + 1, fx, 0.0)         # (wx, Wx)
-    patch = A @ win @ B.T
+    B = (c2 == ox + ic).astype(win.dtype)               # (wx+1, Wx)
+    src = A @ win @ B.T                                 # (wy+1, wx+1)
+    r = (1.0 - fx) * src[:, :wx] + fx * src[:, 1:]
+    patch = (1.0 - fy) * r[:wy, :] + fy * r[1:, :]
     return patch, ok
 
 

@@ -131,6 +131,39 @@ def sharded_tracking_step(mesh: Mesh, camera: Camera,
     return fn
 
 
+def sharded_bundle_adjust(mesh: Mesh, cfg: ba.BAConfig):
+    """Returns fn(BAProblem-with-obs-padded-to-mesh-size) ->
+    (T_world_kf, points, costs): the full LM-damped Schur BA with the
+    observation axis sharded across the mesh. Poses/points stay
+    replicated; every segment reduction inside the Schur assembly psums
+    over ICI (see bundle_adjust(axis_name=...)). The observation count
+    must be divisible by the mesh size (pad with obs_valid=False)."""
+
+    def body(T_kf, points, obs_kf, obs_point, obs_uv, obs_valid,
+             fx, fy, cx, cy):
+        prob = ba.BAProblem(T_world_kf=T_kf, points=points, obs_kf=obs_kf,
+                            obs_point=obs_point, obs_uv=obs_uv,
+                            obs_valid=obs_valid, fx=fx, fy=fy, cx=cx,
+                            cy=cy)
+        prob, costs = ba.bundle_adjust(prob, cfg, axis_name=EVENT_AXIS)
+        return prob.T_world_kf, prob.points, costs
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(EVENT_AXIS), P(EVENT_AXIS), P(EVENT_AXIS),
+                  P(EVENT_AXIS), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()), check_vma=False)
+
+    def run(prob: ba.BAProblem):
+        T_kf, points, costs = fn(prob.T_world_kf, prob.points, prob.obs_kf,
+                                 prob.obs_point, prob.obs_uv,
+                                 prob.obs_valid, prob.fx, prob.fy, prob.cx,
+                                 prob.cy)
+        return prob.replace(T_world_kf=T_kf, points=points), costs
+
+    return run
+
+
 def sharded_ba_normal_equations(mesh: Mesh, cfg: ba.BAConfig):
     """Returns fn(problem-with-sharded-observations) -> (B, C, gc, gp,
     E_pt): the BA normal-equation blocks assembled per observation shard

@@ -28,8 +28,13 @@ class BackendLoop:
     def __init__(self, system: EsvoSystem, keyframe_every: int = 5,
                  window: int = 6, max_points_per_kf: int = 400,
                  ba_config: BAConfig | None = None,
-                 voxel_size: float = 0.05):
+                 voxel_size: float = 0.05, mesh=None):
+        """mesh: optional jax.sharding.Mesh — BA then runs through
+        parallel.sharding.sharded_bundle_adjust with the observation axis
+        sharded across the mesh (psum-reduced Schur assembly)."""
         self.system = system
+        self.mesh = mesh
+        self._sharded_ba = None
         self.keyframe_every = keyframe_every
         self.window = window
         self.max_points_per_kf = max_points_per_kf
@@ -90,7 +95,22 @@ class BackendLoop:
         if graph.multiview_fraction() < 0.1:
             return None
         prob = build_ba_problem(graph, max_points=2000)
-        prob, costs = bundle_adjust(prob, self.ba_cfg)
+        if self.mesh is not None:
+            n_dev = self.mesh.size
+            pad = (-prob.obs_kf.shape[0]) % n_dev
+            if pad:
+                prob = prob.replace(
+                    obs_kf=jnp.pad(prob.obs_kf, (0, pad)),
+                    obs_point=jnp.pad(prob.obs_point, (0, pad)),
+                    obs_uv=jnp.pad(prob.obs_uv, ((0, pad), (0, 0))),
+                    obs_valid=jnp.pad(prob.obs_valid, (0, pad)))
+            if self._sharded_ba is None:
+                from esvo_tpu.parallel.sharding import sharded_bundle_adjust
+                self._sharded_ba = sharded_bundle_adjust(self.mesh,
+                                                         self.ba_cfg)
+            prob, costs = self._sharded_ba(prob)
+        else:
+            prob, costs = bundle_adjust(prob, self.ba_cfg)
         self.num_ba_runs += 1
 
         # fold the newest keyframe's correction into the live pose

@@ -75,9 +75,28 @@ class EsvoSystem:
 
     def __init__(self, rig: StereoRig, config: SystemConfig | None = None,
                  pose_table_size: int = 1024, seed: int = 0,
-                 emit_debug_maps: bool = False):
+                 emit_debug_maps: bool = False, mesh=None):
+        """mesh: optional jax.sharding.Mesh (single axis). The mapping
+        cycle's event axis then shards across the mesh: the depth-LM
+        solve (the cycle's dominant cost) runs one shard per device with
+        all-gathered estimates, and the time-surface scatter runs
+        per-shard with a pmax merge — the TPU-native equivalent of the
+        reference's NUM_THREAD_MAPPING=4 event striping
+        (core/EventBM.cpp:299-315, core/DepthProblemSolver.cpp:28-90).
+        Block matching stays replicated (its dense cost volume is
+        image-bound, independent of the event count) and so does
+        tracking (the reference's NUM_THREAD_TRACKING=1,
+        tools/utils.h:34-36)."""
         self.rig = rig
         self.cfg = config or SystemConfig()
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = mesh.size
+            n = (config or SystemConfig()).mapping.process_event_num
+            if n % n_dev != 0:
+                raise ValueError(
+                    f"process_event_num {n} must divide the mesh size "
+                    f"{n_dev} for event-axis sharding")
         self.H = rig.left.height
         self.W = rig.left.width
         self.dtype = rig.left.lut.dtype
@@ -99,6 +118,12 @@ class EsvoSystem:
 
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.PRNGKey(seed)
+        # per-K cache of fused roll programs (process_ticks)
+        self._roll_programs: dict = {}
+        # deferred mapping-cycle outputs (consumed at the next roll —
+        # the reference's 20 Hz mapper publishes to the 100 Hz tracker
+        # with the same one-cycle latency, launch/system/system_rpg.launch)
+        self._pending_mapping = None
         self.reset()
         self._build_programs()
 
@@ -145,6 +170,7 @@ class EsvoSystem:
         # accumulated voxel-downsampled global cloud
         # (esvo_Mapping.cpp:909-978)
         self._global_voxels: dict = {}
+        self._pending_mapping = None
 
     # ------------------------------------------------------------------
     # compiled programs
@@ -153,11 +179,50 @@ class EsvoSystem:
         cfg = self.cfg
         rig = self.rig
         H, W = self.H, self.W
+        mesh = self.mesh
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as PS
+            from jax import shard_map
+            from esvo_tpu.parallel.sharding import (EVENT_AXIS,
+                                                    sharded_surface_update)
+            n_dev = mesh.size
+
+            def insert_fn(st, ev):
+                # pad the frame capacity up to a mesh multiple (padded
+                # lanes carry valid=False and are scatter no-ops)
+                pad = (-ev.x.shape[0]) % n_dev
+                if pad:
+                    ev = jax.tree.map(
+                        lambda a: jnp.pad(
+                            a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)), ev)
+                return sharded_surface_update(mesh, st, ev)
+
+            _est_specs = jax.tree.map(lambda _: PS(EVENT_AXIS),
+                                      dr.DepthEstimates(*([0] * 10)))
+
+            def solve_fn(mx, T_wv, T_lv, d0, v, tt, tsl, tsr):
+                """Depth-LM with the event axis sharded — the striped
+                DepthProblemSolver pool (DepthProblemSolver.cpp:28-90)."""
+                body = lambda *a: dr.solve(*a, rig, cfg.depth)
+                return shard_map(
+                    body, mesh=mesh,
+                    in_specs=(PS(EVENT_AXIS),) * 6 + (PS(), PS()),
+                    out_specs=_est_specs, check_vma=False)(
+                        mx, T_wv, T_lv, d0, v, tt, tsl, tsr)
+        else:
+            insert_fn = tsf.insert_events
+
+            def solve_fn(mx, T_wv, T_lv, d0, v, tt, tsl, tsr):
+                return dr.solve(mx, T_wv, T_lv, d0, v, tt, tsl, tsr,
+                                rig, cfg.depth)
+
+        self._insert_fn = insert_fn
 
         @jax.jit
         def render_tick(st_l, st_r, ev_l, ev_r, t_sync):
-            st_l = tsf.insert_events(st_l, ev_l)
-            st_r = tsf.insert_events(st_r, ev_r)
+            st_l = insert_fn(st_l, ev_l)
+            st_r = insert_fn(st_r, ev_r)
             render = (tsf.render_backward if cfg.surface.mode == "backward"
                       else tsf.render_forward)
             s_l = render(st_l, t_sync, rig.left, cfg.surface)
@@ -206,8 +271,8 @@ class EsvoSystem:
                 rig, cfg.bm)
             T_left_world = se3_inverse(T_world_frame)
             T_lv = jnp.einsum("ij,njk->nik", T_left_world, T_wv)
-            est = dr.solve(matches.x_left, T_wv, T_lv, matches.inv_depth,
-                           matches.valid, ev_t, ts_l, ts_r, rig, cfg.depth)
+            est = solve_fn(matches.x_left, T_wv, T_lv, matches.inv_depth,
+                           matches.valid, ev_t, ts_l, ts_r)
             est = dr.point_culling(
                 est, cfg.mapping.std_var_vis_threshold,
                 cfg.cost_vis_threshold, cfg.mapping.inv_depth_min_range,
@@ -273,6 +338,98 @@ class EsvoSystem:
             return T_est, rms, jnp.sum(ok)
 
         self._track = track
+
+    def _get_roll_programs(self, K: int):
+        """Fused K-tick device programs (cached per K).
+
+        The reference hides latency by pipelining ROS nodes at different
+        rates (100 Hz TS + tracking, 20 Hz mapping,
+        launch/system/system_rpg.launch:5-63). The TPU equivalent: fuse
+        the K surface renders and the K chained tracking solves between
+        two mapping cycles into ONE device program (lax.scan over ticks),
+        donate the timestamp grids, and dispatch the mapping program
+        asynchronously afterwards — the host never blocks on mapping
+        results inside the roll loop (stats are consumed one roll later,
+        matching the reference's publish latency).
+        """
+        if K in self._roll_programs:
+            return self._roll_programs[K]
+        cfg = self.cfg
+        rig = self.rig
+        insert = self._insert_fn
+        render = (tsf.render_backward if cfg.surface.mode == "backward"
+                  else tsf.render_forward)
+        M = cfg.tracker.max_registration_points
+        dt = self.dtype
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def roll_render(st_l, st_r, ev_l, ev_r, t_syncs):
+            """K ticks of surface updates; returns the final surfaces."""
+            def step(carry, inp):
+                st_l, st_r = carry
+                evl, evr, ts = inp
+                st_l = insert(st_l, evl)
+                st_r = insert(st_r, evr)
+                return (st_l, st_r), None
+
+            (st_l, st_r), _ = jax.lax.scan(
+                step, (st_l, st_r), (ev_l, ev_r, t_syncs))
+            s_l = render(st_l, t_syncs[-1], rig.left, cfg.surface)
+            s_r = render(st_r, t_syncs[-1], rig.right, cfg.surface)
+            return st_l, st_r, s_l.astype(dt), s_r.astype(dt)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def roll_track(st_l, st_r, ev_l, ev_r, t_syncs, T_world_ref,
+                       T_world_cur0, pts_world, pt_valid, key):
+            """K ticks of surface update + chained tracking solves.
+
+            The reference map is fixed across the roll (the mapper
+            publishes at the roll boundary); point selection happens once
+            per roll (the reference reshuffles per cycle,
+            RegProblemLM.cpp:45-55 — the solver still rotates batches
+            every LM round, so the deterministic-fold semantics are
+            unchanged).
+            """
+            T_world_ref = T_world_ref.astype(dt)
+            flat_pts = pts_world.reshape(-1, 3)
+            flat_ok = pt_valid.reshape(-1)
+            key, sub = jax.random.split(key)
+            score = jax.random.uniform(sub, flat_ok.shape) \
+                + jnp.where(flat_ok, 0.0, 1e3)
+            idx = jnp.argsort(score)[:M]
+            pts = flat_pts[idx]
+            ok = flat_ok[idx]
+            # ref-frame coordinates once per roll (make_problem's einsum)
+            Rwr = T_world_ref[:3, :3]
+            twr = T_world_ref[:3, 3]
+            p_ref = jnp.einsum("ji,nj->ni", Rwr, pts - twr)
+            T_ref_world = se3_inverse(T_world_ref)
+
+            def step(carry, inp):
+                st_l, st_r, T_cur = carry
+                evl, evr, ts = inp
+                st_l = insert(st_l, evl)
+                st_r = insert(st_r, evr)
+                s_l = render(st_l, ts, rig.left, cfg.surface).astype(dt)
+                s_r = render(st_r, ts, rig.right, cfg.surface).astype(dt)
+                T_ref_left = T_ref_world @ T_cur.astype(dt)
+                neg, gu, gv = reg.negative_time_surface(
+                    s_l, cfg.tracker.kernel_size)
+                prob = reg.RegProblem(
+                    R=T_ref_left[:3, :3], t=T_ref_left[:3, 3],
+                    T_world_ref=T_world_ref, points=p_ref,
+                    point_valid=ok, ts_negative=neg, grad_u=gu, grad_v=gv)
+                prob, T_est, rms = reg.solve(prob, rig.left, cfg.tracker)
+                return (st_l, st_r, T_est), (T_est, rms[-1], s_l, s_r)
+
+            (st_l, st_r, _), (poses, rms, surf_l, surf_r) = jax.lax.scan(
+                step, (st_l, st_r, T_world_cur0.astype(dt)),
+                (ev_l, ev_r, t_syncs))
+            return (st_l, st_r, poses, rms, surf_l[-1], surf_r[-1],
+                    jnp.sum(ok))
+
+        self._roll_programs[K] = (roll_render, roll_track)
+        return self._roll_programs[K]
 
     # ------------------------------------------------------------------
     # helpers
@@ -426,77 +583,223 @@ class EsvoSystem:
 
         T_wf = self.T_world_cur.copy()
         if self.status == SystemStatus.INITIALIZATION:
-            # ---- SGM bootstrap (esvo_Mapping.cpp:433-492) ----
-            est, n = self._sgm_seed(ts_l, ts_r,
-                                    jnp.asarray(ev_left["x"]),
-                                    jnp.asarray(ev_left["y"]),
-                                    jnp.asarray(ev_left["valid"]),
-                                    jnp.asarray(T_wf, self.dtype))
-            n = int(n)
-            out["sgm_points"] = n
-            if n >= self.cfg.mapping.init_sgm_num_threshold:
-                self._push_history(est)
-                self.T_world_frame = T_wf
-                self.grid, self._map_pts, self._map_ok = \
-                    self._seed_frame(self.history,
-                                     jnp.asarray(T_wf, self.dtype))
-                self.stats["map_points"] = int(jnp.sum(self._map_ok))
-                self._push_ref_map(self._map_pts, self._map_ok,
-                                   self.stats["map_points"])
-                self.status = SystemStatus.WORKING
-                self.last_mapping_time = t_sync
+            self._sgm_bootstrap(t_sync, ts_l, ts_r, ev_left, T_wf, out)
         else:
-            # pose availability guard (getPoseAt returns false -> the
-            # mapper skips the cycle, esvo_Mapping.cpp:630-667): when the
-            # pose table's window no longer covers the oldest event in
-            # this frame, skip rather than clamp to a wrong pose.
-            ev_t_arr = np.asarray(ev_left["t"])
-            ev_ok_arr = np.asarray(ev_left["valid"])
-            if ev_ok_arr.any() and len(self.pose_times) > 1:
-                oldest_needed = float(ev_t_arr[ev_ok_arr].min())
-                oldest_avail = self.pose_times[
-                    max(len(self.pose_times) - self.pose_table_size, 0)]
-                if oldest_needed < oldest_avail - 1e-9:
-                    self.stats["pose_miss_skips"] += 1
-                    out["pose_miss_skip"] = True
-                    out["map_points"] = self.stats["map_points"]
-                    return out
-            # ---- mapping cycle (esvo_Mapping.cpp:261-431) ----
-            pt_t, pt_T = self._pose_table()
-            est, n, bm_stats = self._map_estimate(
-                ts_l, ts_r, jnp.asarray(ev_left["x"]),
-                jnp.asarray(ev_left["y"]),
-                jnp.asarray(ev_left["t"], self.dtype),
-                jnp.asarray(ev_left["valid"]), pt_t, pt_T,
-                jnp.asarray(T_wf, self.dtype))
-            out["map_estimates"] = int(n)
-            bm_stats = {k: int(v) for k, v in bm_stats.items()}
-            out["bm_stats"] = bm_stats
-            self.stats["bm"] = {
-                k: self.stats["bm"].get(k, 0) + v
-                for k, v in bm_stats.items()}
-            self._push_history(est)
-            self.T_world_frame = T_wf
-            self.grid, self._map_pts, self._map_ok, nf, nd = \
-                self._rebuild_frame(self.history,
-                                    jnp.asarray(T_wf, self.dtype))
-            self.stats["fusions"] += int(nf)
-            self.stats["dropped"] += int(nd)
-            self.stats["map_points"] = int(jnp.sum(self._map_ok))
-            self._push_ref_map(self._map_pts, self._map_ok,
-                               self.stats["map_points"])
-            self._accumulate_global_map(self._map_pts, self._map_ok)
-            self.last_mapping_time = t_sync
-            # degrade to INITIALIZATION only when no history map can
-            # support registration (esvo_Tracking.cpp:163-168,
-            # RegProblemSolverLM.cpp:52-57 + REF_HISTORY fallback)
-            if gt_pose is None and self._current_ref_map() is None:
-                self.status = SystemStatus.INITIALIZATION
-                self._frames_filled = 0
+            if self._dispatch_mapping(t_sync, ts_l, ts_r, ev_left, T_wf,
+                                      gt_mode=gt_pose is not None, out=out):
+                fin = self._finalize_pending_mapping()
+                if fin:
+                    out.update(fin)
         out["map_points"] = self.stats["map_points"]
         if self.emit_debug_maps:
             out["maps"] = self.render_debug_maps()
         return out
+
+    def _sgm_bootstrap(self, t_sync, ts_l, ts_r, ev_left, T_wf, out):
+        """SGM bootstrap cycle (esvo_Mapping.cpp:433-492). Synchronous:
+        the bootstrap decision gates the state machine."""
+        est, n = self._sgm_seed(ts_l, ts_r,
+                                jnp.asarray(ev_left["x"]),
+                                jnp.asarray(ev_left["y"]),
+                                jnp.asarray(ev_left["valid"]),
+                                jnp.asarray(T_wf, self.dtype))
+        n = int(n)
+        out["sgm_points"] = n
+        if n >= self.cfg.mapping.init_sgm_num_threshold:
+            self._push_history(est)
+            self.T_world_frame = T_wf
+            self.grid, self._map_pts, self._map_ok = \
+                self._seed_frame(self.history,
+                                 jnp.asarray(T_wf, self.dtype))
+            self.stats["map_points"] = int(jnp.sum(self._map_ok))
+            self._push_ref_map(self._map_pts, self._map_ok,
+                               self.stats["map_points"])
+            self.status = SystemStatus.WORKING
+            self.last_mapping_time = t_sync
+
+    def _dispatch_mapping(self, t_sync, ts_l, ts_r, ev_left, T_wf,
+                          gt_mode: bool, out: dict) -> bool:
+        """Dispatch one WORKING mapping cycle (esvo_Mapping.cpp:261-431)
+        without blocking on its results: device handles are parked in
+        `_pending_mapping` and converted by `_finalize_pending_mapping`
+        (immediately in the sequential path; one roll later in
+        process_ticks, matching the reference's mapper->tracker publish
+        latency). Returns False when the pose guard skipped the cycle."""
+        # pose availability guard (getPoseAt returns false -> the
+        # mapper skips the cycle, esvo_Mapping.cpp:630-667): when the
+        # pose table's window no longer covers the oldest event in
+        # this frame, skip rather than clamp to a wrong pose.
+        ev_t_arr = np.asarray(ev_left["t"])
+        ev_ok_arr = np.asarray(ev_left["valid"])
+        if ev_ok_arr.any() and len(self.pose_times) > 1:
+            oldest_needed = float(ev_t_arr[ev_ok_arr].min())
+            oldest_avail = self.pose_times[
+                max(len(self.pose_times) - self.pose_table_size, 0)]
+            if oldest_needed < oldest_avail - 1e-9:
+                self.stats["pose_miss_skips"] += 1
+                out["pose_miss_skip"] = True
+                return False
+        pt_t, pt_T = self._pose_table()
+        est, n, bm_stats = self._map_estimate(
+            ts_l, ts_r, jnp.asarray(ev_left["x"]),
+            jnp.asarray(ev_left["y"]),
+            jnp.asarray(ev_left["t"], self.dtype),
+            jnp.asarray(ev_left["valid"]), pt_t, pt_T,
+            jnp.asarray(T_wf, self.dtype))
+        self._push_history(est)
+        self.T_world_frame = T_wf
+        self.grid, self._map_pts, self._map_ok, nf, nd = \
+            self._rebuild_frame(self.history,
+                                jnp.asarray(T_wf, self.dtype))
+        self.last_mapping_time = t_sync
+        self._pending_mapping = {
+            "n": n, "bm_stats": bm_stats, "nf": nf, "nd": nd,
+            "pts": self._map_pts, "ok": self._map_ok, "gt_mode": gt_mode}
+        return True
+
+    def _finalize_pending_mapping(self) -> dict | None:
+        """Convert the parked mapping outputs to host stats, publish the
+        map to the tracker's REF_HISTORY ring, and run the degrade
+        check. Host-blocking — called just before the next roll uses the
+        map (the reference's pointcloud_local subscriber sees the same
+        one-cycle-old map, esvo_Tracking.cpp:279-292)."""
+        p = self._pending_mapping
+        if p is None:
+            return None
+        self._pending_mapping = None
+        out = {"map_estimates": int(p["n"])}
+        bm_stats = {k: int(v) for k, v in p["bm_stats"].items()}
+        out["bm_stats"] = bm_stats
+        self.stats["bm"] = {
+            k: self.stats["bm"].get(k, 0) + v
+            for k, v in bm_stats.items()}
+        self.stats["fusions"] += int(p["nf"])
+        self.stats["dropped"] += int(p["nd"])
+        self.stats["map_points"] = int(jnp.sum(p["ok"]))
+        self._push_ref_map(p["pts"], p["ok"], self.stats["map_points"])
+        self._accumulate_global_map(p["pts"], p["ok"])
+        # degrade to INITIALIZATION only when no history map can
+        # support registration (esvo_Tracking.cpp:163-168,
+        # RegProblemSolverLM.cpp:52-57 + REF_HISTORY fallback)
+        if not p["gt_mode"] and self._current_ref_map() is None:
+            self.status = SystemStatus.INITIALIZATION
+            self._frames_filled = 0
+        out["map_points"] = self.stats["map_points"]
+        return out
+
+    def process_ticks(self, t_syncs, ev_left: dict, ev_right: dict,
+                      gt_poses=None, do_mapping: bool | None = None):
+        """Process K consecutive sync ticks with fused device programs.
+
+        The batched analogue of K process_tick calls (the reference's
+        pipeline parallelism across ROS nodes,
+        launch/system/system_rpg.launch:5-63): one roll program performs
+        all K surface updates and (while WORKING) the K chained tracking
+        solves; a scheduled mapping cycle on the final tick is dispatched
+        asynchronously and its stats/map hand-off are consumed at the
+        START of the next call — the tracker works against the previous
+        cycle's map exactly like the reference's subscriber.
+
+        Args:
+          t_syncs: (K,) tick times.
+          ev_left/ev_right: dicts of (K, N) framed event arrays
+            (io.events.frame_events output).
+          gt_poses: optional (K, 4, 4) ground-truth poses (MVStereo mode).
+          do_mapping: force a mapping cycle on the last tick; None
+            schedules from cfg.mapping.mapping_rate_hz.
+
+        Returns a dict: final surfaces, (K, 4, 4) poses, tracking rms,
+        plus the finalized stats of the *previous* roll's mapping cycle.
+        """
+        t_syncs = np.asarray(t_syncs, float)
+        K = len(t_syncs)
+        # timestamp watchdog across the roll: fall back to the sequential
+        # path so the reset lands on the exact offending tick
+        prev = ([self.last_tick_time] if self.last_tick_time is not None
+                else [])
+        dts = np.diff(np.concatenate([prev, t_syncs]))
+        if len(dts) and ((dts < 0).any() or (dts >= 0.5).any()):
+            per_tick = [
+                self.process_tick(
+                    float(t),
+                    {k: v[i] for k, v in ev_left.items()},
+                    {k: v[i] for k, v in ev_right.items()},
+                    gt_pose=None if gt_poses is None else gt_poses[i])
+                for i, t in enumerate(t_syncs)]
+            return {"per_tick": per_tick, "status": self.status.value}
+
+        out = {"t": float(t_syncs[-1]), "status": self.status.value}
+        fin = self._finalize_pending_mapping()
+        if fin:
+            out.update(fin)
+        if do_mapping is None:
+            period = 1.0 / self.cfg.mapping.mapping_rate_hz
+            do_mapping = (self.last_mapping_time is None
+                          or t_syncs[-1] - self.last_mapping_time
+                          >= period - 1e-9)
+
+        roll_render, roll_track = self._get_roll_programs(K)
+        evb_l = self._event_batch(ev_left)
+        evb_r = self._event_batch(ev_right)
+        t_dev = jnp.asarray(t_syncs, jnp.float32)
+        ref = self._current_ref_map()
+
+        n_valid = np.sum(np.asarray(ev_left["valid"]), axis=1)
+        self.stats["low_event_ticks"] += int(
+            (n_valid < self.cfg.tracker.min_num_events).sum())
+        self.events_since_last_obs = int(n_valid[-1])
+
+        if gt_poses is None and self.status == SystemStatus.WORKING \
+                and ref is not None:
+            self._key, sub = jax.random.split(self._key)
+            (self.ts_state_left, self.ts_state_right, poses, rms, s_l,
+             s_r, nsel) = roll_track(
+                self.ts_state_left, self.ts_state_right, evb_l, evb_r,
+                t_dev, jnp.asarray(self.T_world_frame, self.dtype),
+                jnp.asarray(self.T_world_cur, self.dtype),
+                ref[0], ref[1], sub)
+            poses_np = np.asarray(poses, np.float64)
+            for i, t in enumerate(t_syncs):
+                self.record_pose(float(t), poses_np[i])
+                self.traj_times.append(float(t))
+                self.traj_poses.append(poses_np[i])
+            rms = np.asarray(rms)
+            out["tracking_rms"] = rms
+            out["lm_stats"] = {"n_points": int(nsel),
+                               "n_iter": self.cfg.tracker.max_iteration,
+                               "rms": float(rms[-1])}
+            out["poses"] = poses_np
+        else:
+            (self.ts_state_left, self.ts_state_right, s_l, s_r) = \
+                roll_render(self.ts_state_left, self.ts_state_right,
+                            evb_l, evb_r, t_dev)
+            for i, t in enumerate(t_syncs):
+                if gt_poses is not None:
+                    self.record_pose(float(t), np.asarray(gt_poses[i]))
+                self.traj_times.append(float(t))
+                self.traj_poses.append(self.T_world_cur.copy())
+        self.last_tick_time = float(t_syncs[-1])
+        out["ts_left"] = s_l
+        out["ts_right"] = s_r
+
+        if do_mapping:
+            ev_last = {k: np.asarray(v)[-1] for k, v in ev_left.items()}
+            T_wf = self.T_world_cur.copy()
+            if self.status == SystemStatus.INITIALIZATION:
+                self._sgm_bootstrap(float(t_syncs[-1]), s_l, s_r, ev_last,
+                                    T_wf, out)
+            else:
+                self._dispatch_mapping(float(t_syncs[-1]), s_l, s_r,
+                                       ev_last, T_wf,
+                                       gt_mode=gt_poses is not None,
+                                       out=out)
+        out["map_points"] = self.stats["map_points"]
+        return out
+
+    def flush(self):
+        """Finalize any pending asynchronous mapping cycle (call once
+        after the last process_ticks of a run)."""
+        return self._finalize_pending_mapping()
 
     # ------------------------------------------------------------------
     # outputs

@@ -76,8 +76,12 @@ class TimeSurfaceConfig:
 
 
 def init_state(height: int, width: int) -> TimeSurfaceState:
-    full = jnp.full((height, width), NO_EVENT, dtype=jnp.float32)
-    return TimeSurfaceState(last_t_pos=full, last_t_neg=full)
+    # two distinct buffers: callers donate the whole state to the roll
+    # programs (runtime/system.py), and donating one aliased buffer twice
+    # is a runtime error
+    return TimeSurfaceState(
+        last_t_pos=jnp.full((height, width), NO_EVENT, dtype=jnp.float32),
+        last_t_neg=jnp.full((height, width), NO_EVENT, dtype=jnp.float32))
 
 
 def insert_events(state: TimeSurfaceState, ev: EventBatch) -> TimeSurfaceState:

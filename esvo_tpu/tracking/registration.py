@@ -53,6 +53,12 @@ class RegProblemConfig:
     ls_norm: str = struct.field(pytree_node=False, default="Huber")
     min_num_events: int = struct.field(pytree_node=False, default=1000)
     lm_damping: float = struct.field(pytree_node=False, default=1e-3)
+    # reference RegProblemType (esvo_Tracking.cpp reads 0=numerical,
+    # 1=analytical; RegProblemSolverLM.cpp:76-145 vs :148-217). The
+    # analytical path requires 1x1 patches (the reference likewise only
+    # uses the patch-centre gradient, RegProblemLM.cpp:219-223); the
+    # numerical path supports arbitrary patch sizes via jacfwd.
+    use_numerical_diff: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -215,6 +221,28 @@ def analytic_jacobian(prob: RegProblem, points: jax.Array, valid: jax.Array,
     return jnp.where(ok[:, None], J, 0.0)
 
 
+def numerical_jacobian(prob: RegProblem, points: jax.Array,
+                       valid: jax.Array, camera: Camera,
+                       cfg: RegProblemConfig) -> jax.Array:
+    """Jacobian of the raw residual at x = 0 for arbitrary patch sizes.
+
+    The reference's NumericalDiff solver path (solve_numerical,
+    RegProblemSolverLM.cpp:76-145) finite-differences the full residual
+    including every patch pixel. `jax.jacfwd` through the bilinear
+    sampler gives the exact in-cell derivative that central differences
+    estimate. Invalid reprojections contribute zero rows (their residual
+    is the constant 255 sentinel).
+    """
+    dtype = prob.R.dtype
+
+    def raw(x):
+        _, r, _ = residuals_and_weights(prob, x, points, valid, camera, cfg)
+        return r                                    # (B, P)
+
+    J = jax.jacfwd(raw)(jnp.zeros(6, dtype=dtype))  # (B, P, 6)
+    return J.reshape(-1, 6)
+
+
 def add_motion_update(R: jax.Array, t: jax.Array, dx: jax.Array):
     """Fold an increment into (R, t) (addMotionUpdate,
     RegProblemLM.cpp:348-360)."""
@@ -261,7 +289,10 @@ def solve(prob: RegProblem, camera: Camera, cfg: RegProblemConfig):
                                            axis=0)
         p = prob.replace(R=R, t=t)
         f, cost = batch_cost(R, t, pts, val)
-        J = analytic_jacobian(p, pts, val, camera, cfg)
+        if cfg.use_numerical_diff or cfg.patch_size_x * cfg.patch_size_y > 1:
+            J = numerical_jacobian(p, pts, val, camera, cfg)
+        else:
+            J = analytic_jacobian(p, pts, val, camera, cfg)
         g = J.T @ f
         H = J.T @ J
         damp = lam * jnp.diag(jnp.diag(H)) + 1e-12 * jnp.eye(6, dtype=dtype)

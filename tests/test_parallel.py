@@ -157,3 +157,77 @@ def test_sharded_ba_normal_equations_match_serial(mesh):
                                rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(gc), np.asarray(gc_ref),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_sharded_bundle_adjust_matches_serial(mesh):
+    """Full sharded LM-Schur BA == serial bundle_adjust (the observation
+    axis shards; poses/points stay replicated)."""
+    from esvo_tpu.backend import bundle_adjustment as ba
+    from tests.test_backend import synthetic_problem
+
+    rng = np.random.default_rng(6)
+    prob, *_ = synthetic_problem(rng, K=4, P=64)
+    M = prob.obs_kf.shape[0]
+    pad = (-M) % N_DEV
+    if pad:
+        prob = prob.replace(
+            obs_kf=jnp.pad(prob.obs_kf, (0, pad)),
+            obs_point=jnp.pad(prob.obs_point, (0, pad)),
+            obs_uv=jnp.pad(prob.obs_uv, ((0, pad), (0, 0))),
+            obs_valid=jnp.pad(prob.obs_valid, (0, pad)))
+
+    cfg = ba.BAConfig(max_iterations=4)
+    serial_prob, serial_costs = ba.bundle_adjust(prob, cfg)
+    run = ps.sharded_bundle_adjust(mesh, cfg)
+    shard_prob, shard_costs = run(prob)
+
+    np.testing.assert_allclose(np.asarray(shard_costs),
+                               np.asarray(serial_costs), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(shard_prob.T_world_kf),
+                               np.asarray(serial_prob.T_world_kf),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(shard_prob.points),
+                               np.asarray(serial_prob.points),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_system_closed_loop(mesh):
+    """EsvoSystem(mesh=...) — the runtime with the mapping event axis
+    sharded — must track the same synthetic scene as the serial system
+    (same ATE envelope; the sharded depth solve is bitwise the serial
+    one per shard, so only f32 reduction order differs)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_system import make_config, frame_at, W as SW, H as SH, \
+        FX, BASELINE, TICK
+    from esvo_tpu.io.events import frame_events
+    from esvo_tpu.io.synthetic import (make_scene, simulate_stereo_events,
+                                       interpolate_gt_pose)
+    from esvo_tpu.runtime.system import EsvoSystem, SystemStatus
+    from esvo_tpu.eval.trajectory import ate_rmse
+
+    rng = np.random.default_rng(7)
+    srig = make_ideal_rig(SW, SH, FX, FX, SW / 2 - 0.5, SH / 2 - 0.5,
+                          BASELINE, dtype=jnp.float32)
+    scene = make_scene(rng, num_points=4000, duration=0.5, steps=51,
+                      motion_scale=0.6)
+    ev_l, ev_r = simulate_stereo_events(
+        scene, np.asarray(srig.left.params.P),
+        np.asarray(srig.right.params.P), SW, SH, pixel_threshold=0.75,
+        rng=rng)
+    ticks = np.arange(TICK, 0.42, TICK)
+    frames_l = frame_events(ev_l, ticks, 3000)
+    frames_r = frame_events(ev_r, ticks, 3000)
+
+    system = EsvoSystem(srig, make_config(), mesh=mesh)
+    for k in range(40):
+        t = float(ticks[k])
+        system.process_tick(t, frame_at(frames_l, k),
+                            frame_at(frames_r, k),
+                            do_mapping=(k % 5 == 4))
+    assert system.status == SystemStatus.WORKING
+    t_est, T_est = system.trajectory()
+    gt = np.stack([interpolate_gt_pose(scene, t) for t in t_est])
+    ate = ate_rmse(t_est, T_est, t_est, gt, align=True)
+    print(f"sharded closed-loop ATE RMSE: {ate:.4f} m")
+    assert ate < 0.08, f"ATE {ate}"

@@ -130,3 +130,31 @@ def test_closed_loop_tracking(world):
     # f64 — bound the distribution, not the bitwise path (reference is
     # itself non-deterministic run-to-run, README.md:230)
     assert ate < 0.08, f"ATE {ate}"
+
+
+def test_closed_loop_process_ticks(world):
+    """Batched-roll path (process_ticks): K surface updates + K chained
+    tracking solves per device program, mapping dispatched asynchronously
+    at roll boundaries. Must track within the same ATE envelope as the
+    sequential per-tick path."""
+    rig, scene, ticks, frames_l, frames_r = world
+    system = EsvoSystem(rig, make_config())
+
+    n_ticks = 60
+    R = 5
+    for k0 in range(0, n_ticks, R):
+        ts = ticks[k0:k0 + R]
+        evl = {key: v[k0:k0 + R] for key, v in frames_l.items()
+               if key != "dropped"}
+        evr = {key: v[k0:k0 + R] for key, v in frames_r.items()
+               if key != "dropped"}
+        out = system.process_ticks(ts, evl, evr, do_mapping=True)
+    system.flush()
+    assert system.status == SystemStatus.WORKING
+
+    t_est, T_est = system.trajectory()
+    assert len(t_est) == n_ticks
+    gt_poses = np.stack([interpolate_gt_pose(scene, t) for t in t_est])
+    ate = ate_rmse(t_est, T_est, t_est, gt_poses, align=True)
+    print(f"rolled closed-loop ATE RMSE: {ate:.4f} m")
+    assert ate < 0.08, f"ATE {ate}"

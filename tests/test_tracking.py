@@ -156,3 +156,63 @@ def test_solve_spd_matches_dense_solve():
         x = solve_spd(jnp.asarray(A), jnp.asarray(b))
         np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
                                    rtol=1e-5, atol=1e-8)
+
+
+def test_numerical_jacobian_matches_analytic_1x1():
+    """jacfwd path == analytic path for the 1x1 reference default
+    (RegProblemSolverLM.cpp:76-145 vs :148-217)."""
+    rng = np.random.default_rng(3)
+    cam = rig().left
+    cfg = reg.RegProblemConfig(kernel_size=0)
+    Rm = np.asarray(cayley_to_rot(jnp.asarray([0.02, -0.01, 0.015])))
+    t = np.array([0.05, -0.02, 0.1])
+    T_world_cur = np.asarray(se3_matrix(jnp.asarray(Rm), jnp.asarray(t)))
+    M = 50
+    pts_world = np.stack([rng.uniform(-0.4, 0.4, M),
+                          rng.uniform(-0.3, 0.3, M),
+                          rng.uniform(1.5, 3.0, M)], axis=1)
+    img = linear_image()
+    prob = reg.make_problem(jnp.eye(4, dtype=jnp.float64),
+                            jnp.asarray(T_world_cur),
+                            jnp.asarray(pts_world), jnp.ones(M, bool),
+                            jnp.asarray(img), cfg)
+    Ja = np.asarray(reg.analytic_jacobian(prob, prob.points,
+                                          prob.point_valid, cam, cfg))
+    Jn = np.asarray(reg.numerical_jacobian(prob, prob.points,
+                                           prob.point_valid, cam, cfg))
+    ok = np.abs(Ja).sum(1) > 0
+    assert ok.sum() > 30
+    # linear image: the Sobel gradient (/8) equals the bilinear in-cell
+    # gradient exactly, so both Jacobians agree to numerical precision
+    np.testing.assert_allclose(Jn[ok], Ja[ok], rtol=1e-6, atol=1e-9)
+
+
+def test_solver_recovers_pose_patch3x3():
+    """Patch sizes > 1x1 (reference RegProblemLM.cpp:418-487 supports
+    arbitrary patches through the numerical-diff solver)."""
+    rng = np.random.default_rng(4)
+    cam = rig().left
+    cfg = reg.RegProblemConfig(kernel_size=0, batch_size=500,
+                               max_iteration=30, patch_size_x=3,
+                               patch_size_y=3)
+    M = 2000
+    pts_world = np.stack([rng.uniform(-0.3, 0.3, M),
+                          rng.uniform(-0.22, 0.22, M),
+                          rng.uniform(0.8, 1.6, M)], axis=1)
+    R_true = np.asarray(cayley_to_rot(jnp.asarray([0.004, -0.003, 0.002])))
+    t_true = np.array([0.015, -0.01, 0.02])
+    T_true = np.eye(4)
+    T_true[:3, :3] = R_true
+    T_true[:3, 3] = t_true
+    ts = _render_edge_surface(pts_world, T_true, cam)
+    prob = reg.make_problem(jnp.eye(4, dtype=jnp.float64),
+                            jnp.eye(4, dtype=jnp.float64),
+                            jnp.asarray(pts_world), jnp.ones(M, bool),
+                            jnp.asarray(ts), cfg)
+    prob, T_est, rms = jax.jit(lambda p: reg.solve(p, cam, cfg))(prob)
+    T_est = np.asarray(T_est)
+    t_err = np.linalg.norm(T_est[:3, 3] - t_true)
+    R_err = np.arccos(np.clip((np.trace(T_est[:3, :3] @ R_true.T) - 1) / 2,
+                              -1, 1))
+    assert t_err < 0.010, f"translation error {t_err}"
+    assert R_err < 0.004, f"rotation error {R_err}"
