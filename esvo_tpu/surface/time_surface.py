@@ -132,14 +132,40 @@ def _to_8bit_levels(img_unit: jax.Array, ignore_polarity: bool) -> jax.Array:
 
 def median_blur_3x3(img: jax.Array) -> jax.Array:
     """3x3 median filter with replicated borders (cv::medianBlur semantics
-    for ksize=3). Implemented as a 9-tap sort over shifted copies — pure
-    VPU work on TPU."""
+    for ksize=3).
+
+    Median-of-9 via a partial exchange network on the 9 shifted planes
+    (the classic GPU formulation) — ~20 elementwise min/max ops, pure
+    VPU. A `jnp.sort` over a trailing 9-wide axis lowers to a generic
+    XLA sort with the taps on the padded lane dimension (several ms at
+    640x480); the network is two orders of magnitude cheaper."""
     padded = jnp.pad(img, 1, mode="edge")
     H, W = img.shape
-    taps = [padded[dy:dy + H, dx:dx + W]
-            for dy in range(3) for dx in range(3)]
-    stacked = jnp.stack(taps, axis=-1)
-    return jnp.sort(stacked, axis=-1)[..., 4]
+    v = [padded[dy:dy + H, dx:dx + W]
+         for dy in range(3) for dx in range(3)]
+
+    def s2(a, b):
+        return jnp.minimum(a, b), jnp.maximum(a, b)
+
+    # mnmx6/mnmx5/mnmx4/mnmx3 stages: each stage isolates the running
+    # min and max of the remaining set, which are provably not the
+    # median and drop out
+    # mnmx6(0,1,2,3,4,5): v0 = min, v5 = max of the six
+    v[0], v[3] = s2(v[0], v[3]); v[1], v[4] = s2(v[1], v[4])
+    v[2], v[5] = s2(v[2], v[5])
+    v[0], v[1] = s2(v[0], v[1]); v[0], v[2] = s2(v[0], v[2])
+    v[4], v[5] = s2(v[4], v[5]); v[3], v[5] = s2(v[3], v[5])
+    # mnmx5(1,2,3,4,6): v1 = min, v6 = max of the five
+    v[1], v[2] = s2(v[1], v[2]); v[3], v[4] = s2(v[3], v[4])
+    v[1], v[3] = s2(v[1], v[3]); v[1], v[6] = s2(v[1], v[6])
+    v[4], v[6] = s2(v[4], v[6]); v[2], v[6] = s2(v[2], v[6])
+    # mnmx4(2,3,4,7): v2 = min, v7 = max of the four
+    v[2], v[3] = s2(v[2], v[3]); v[4], v[7] = s2(v[4], v[7])
+    v[2], v[4] = s2(v[2], v[4]); v[3], v[7] = s2(v[3], v[7])
+    # mnmx3(3,4,8): median lands in v4
+    v[4], v[8] = s2(v[4], v[8]); v[3], v[8] = s2(v[3], v[8])
+    v[3], v[4] = s2(v[3], v[4])
+    return v[4]
 
 
 # OpenCV getGaussianKernel uses fixed binomial kernels for ksize <= 7 when

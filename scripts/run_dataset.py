@@ -76,6 +76,17 @@ def parse_args(argv=None):
                     help="seconds between checkpoints")
     ap.add_argument("--checkpoint-dir", default="ckpt")
     ap.add_argument("--resume", help="checkpoint dir to resume from")
+    ap.add_argument("--roll", type=int, default=0,
+                    help="fuse this many ticks per device program "
+                         "(process_ticks pipelining; 0 = sequential). "
+                         "Mapping runs once per roll, so pick "
+                         "tick_rate/mapping_rate (e.g. 5 at 100/20 Hz)")
+    ap.add_argument("--ba", action="store_true",
+                    help="run the sliding-window bundle-adjustment "
+                         "backend (a capability beyond the reference)")
+    ap.add_argument("--ba-window", type=int, default=6)
+    ap.add_argument("--ba-every", type=int, default=2,
+                    help="mapping cycles per BA keyframe")
     ap.add_argument("--quiet", action="store_true")
     return ap.parse_args(argv)
 
@@ -150,6 +161,11 @@ def main(argv=None):
 
     system = EsvoSystem(rig, cfg,
                         emit_debug_maps=bool(args.debug_maps))
+    backend = None
+    if args.ba:
+        from esvo_tpu.runtime.backend_loop import BackendLoop
+        backend = BackendLoop(system, keyframe_every=args.ba_every,
+                              window=args.ba_window)
     if args.resume:
         from esvo_tpu.runtime.checkpoint import load_checkpoint
         load_checkpoint(system, args.resume)
@@ -159,13 +175,37 @@ def main(argv=None):
 
     last_ckpt = t0
     wall0 = time.perf_counter()
-    for k, t_sync in enumerate(sync_times):
-        fl = {key: v[k] for key, v in frames_l.items() if key != "dropped"}
-        fr = {key: v[k] for key, v in frames_r.items() if key != "dropped"}
-        gt = None
-        if args.mode == "mvstereo":
-            gt = interpolate_gt(gt_times, gt_poses, t_sync)
-        out = system.process_tick(float(t_sync), fl, fr, gt_pose=gt)
+    R = max(args.roll, 0)
+    k = 0
+    while k < len(sync_times):
+        if R > 1 and k + R <= len(sync_times):
+            # fused roll: K ticks per device program, async mapping
+            sl = slice(k, k + R)
+            evl = {key: v[sl] for key, v in frames_l.items()
+                   if key != "dropped"}
+            evr = {key: v[sl] for key, v in frames_r.items()
+                   if key != "dropped"}
+            gts = None
+            if args.mode == "mvstereo":
+                gts = np.stack([interpolate_gt(gt_times, gt_poses, t)
+                                for t in sync_times[sl]])
+            out = system.process_ticks(sync_times[sl], evl, evr,
+                                       gt_poses=gts, do_mapping=True)
+            step = R
+        else:
+            fl = {key: v[k] for key, v in frames_l.items()
+                  if key != "dropped"}
+            fr = {key: v[k] for key, v in frames_r.items()
+                  if key != "dropped"}
+            gt = None
+            if args.mode == "mvstereo":
+                gt = interpolate_gt(gt_times, gt_poses, sync_times[k])
+            out = system.process_tick(float(sync_times[k]), fl, fr,
+                                      gt_pose=gt)
+            step = 1
+        t_sync = sync_times[min(k + step - 1, len(sync_times) - 1)]
+        if backend is not None:
+            backend.maybe_update(out)
         if args.debug_maps and "maps" in out:
             _dump_maps(args.debug_maps, k, out["maps"])
         if args.checkpoint_every and \
@@ -173,11 +213,13 @@ def main(argv=None):
             from esvo_tpu.runtime.checkpoint import save_checkpoint
             save_checkpoint(system, args.checkpoint_dir)
             last_ckpt = t_sync
-        if not args.quiet and k % 100 == 99:
+        if not args.quiet and (k + step) % 100 < step:
             wall = time.perf_counter() - wall0
-            print(f"  tick {k + 1}/{len(sync_times)} "
+            print(f"  tick {k + step}/{len(sync_times)} "
                   f"status={out['status']} map={out.get('map_points', 0)} "
-                  f"({(k + 1) / wall:.1f} ticks/s)")
+                  f"({(k + step) / wall:.1f} ticks/s)")
+        k += step
+    system.flush()
 
     wall = time.perf_counter() - wall0
     system.save_trajectory(args.out)
@@ -196,6 +238,8 @@ def main(argv=None):
 
     result = {"ticks": len(sync_times), "wall_s": wall,
               "stats": system.stats}
+    if backend is not None:
+        result["ba_runs"] = backend.num_ba_runs
     if gt_times is not None and args.mode == "closed":
         t_est, T_est = system.trajectory()
         ate = ate_rmse(t_est, T_est, gt_times, gt_poses, align=True)
