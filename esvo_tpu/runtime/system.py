@@ -127,6 +127,33 @@ class EsvoSystem:
         self.reset()
         self._build_programs()
 
+    def reconfigure(self, config: SystemConfig, reset: bool = True):
+        """Runtime parameter update — the reference's dynamic_reconfigure
+        handler, whose change callback triggers a full system reset
+        (esvo_Mapping.cpp:806-866, cfg/DVS_MappingStereo.cfg). Rebuilds
+        every jitted pipeline program for the new configuration.
+        `reset=False` preserves the live state when the change is
+        shape-compatible (same event budget and fusion window); shape
+        changes force the reset regardless, since the device buffers
+        must be rebuilt."""
+        old_N, old_F = self.N, self.F
+        self.cfg = config
+        m = config.mapping
+        self.N = m.process_event_num
+        if m.fusion_strategy == "CONST_POINTS":
+            self.F = max(int(np.ceil(1.5 * m.max_fusion_points / self.N)),
+                         2)
+        else:
+            self.F = m.max_fusion_frames
+        if self.mesh is not None and self.N % self.mesh.size != 0:
+            raise ValueError(
+                f"process_event_num {self.N} must divide the mesh size "
+                f"{self.mesh.size} for event-axis sharding")
+        self._roll_programs = {}
+        self._build_programs()
+        if reset or self.N != old_N or self.F != old_F:
+            self.reset()
+
     # ------------------------------------------------------------------
     # state
     # ------------------------------------------------------------------

@@ -97,9 +97,15 @@ def insert_events(state: TimeSurfaceState, ev: EventBatch) -> TimeSurfaceState:
     xc = jnp.clip(ev.x, 0, W - 1)
     tp = jnp.where(inb & ev.p, ev.t, NO_EVENT)
     tn = jnp.where(inb & ~ev.p, ev.t, NO_EVENT)
+    # flat 1D scatter-max: a 2D-coordinate scatter makes XLA build a
+    # two-dim index vector per update and (composed with surrounding
+    # ops) can serialize; the flat form stays on the fast path
+    idx = yc * W + xc
     return TimeSurfaceState(
-        last_t_pos=state.last_t_pos.at[yc, xc].max(tp),
-        last_t_neg=state.last_t_neg.at[yc, xc].max(tn),
+        last_t_pos=state.last_t_pos.reshape(-1).at[idx].max(tp)
+            .reshape(H, W),
+        last_t_neg=state.last_t_neg.reshape(-1).at[idx].max(tn)
+            .reshape(H, W),
     )
 
 
@@ -260,16 +266,21 @@ def render_forward(state: TimeSurfaceState, t_sync, camera: Camera,
     fu = u - u0
     fv = v - v0
     w = jnp.where(ok, val, 0.0)
-    acc = jnp.zeros((H, W), dtype=val.dtype)
     u0c = jnp.clip(u0, 0, W - 1)
     v0c = jnp.clip(v0, 0, H - 1)
     u1c = jnp.clip(u0 + 1, 0, W - 1)
     v1c = jnp.clip(v0 + 1, 0, H - 1)
-    acc = acc.at[v0c, u0c].add(w * (1 - fu) * (1 - fv))
-    acc = acc.at[v0c, u1c].add(w * fu * (1 - fv))
-    acc = acc.at[v1c, u0c].add(w * (1 - fu) * fv)
-    acc = acc.at[v1c, u1c].add(w * fu * fv)
-    acc = jnp.clip(acc, None, 1.0)
+    # flat 1D scatter-adds (see insert_events for the layout rationale)
+    acc = jnp.zeros((H * W,), dtype=val.dtype)
+    acc = acc.at[(v0c * W + u0c).reshape(-1)].add(
+        (w * (1 - fu) * (1 - fv)).reshape(-1))
+    acc = acc.at[(v0c * W + u1c).reshape(-1)].add(
+        (w * fu * (1 - fv)).reshape(-1))
+    acc = acc.at[(v1c * W + u0c).reshape(-1)].add(
+        (w * (1 - fu) * fv).reshape(-1))
+    acc = acc.at[(v1c * W + u1c).reshape(-1)].add(
+        (w * fu * fv).reshape(-1))
+    acc = jnp.clip(acc.reshape(H, W), None, 1.0)
     img = _to_8bit_levels(acc, cfg.ignore_polarity)
     if cfg.median_blur_kernel_size > 0:
         img = median_blur_3x3(img)

@@ -47,20 +47,20 @@ def main():
     n_ticks = min(args.ticks, len(ticks))
     R = args.roll
 
-    def run_sequential():
-        system = EsvoSystem(rig, make_config())
+    def run_sequential(system):
+        system.reset()
         t0 = None
         for k in range(n_ticks):
             if k == R and t0 is None:
-                t0 = time.perf_counter()   # skip bootstrap + compiles
+                t0 = time.perf_counter()   # skip bootstrap
             system.process_tick(float(ticks[k]), frame_at(frames_l, k),
                                 frame_at(frames_r, k),
                                 do_mapping=(k % R == R - 1))
         assert system.status == SystemStatus.WORKING
         return (n_ticks - R) / (time.perf_counter() - t0)
 
-    def run_rolled():
-        system = EsvoSystem(rig, make_config())
+    def run_rolled(system):
+        system.reset()
         t0 = None
         for k0 in range(0, n_ticks, R):
             if k0 == R and t0 is None:
@@ -75,10 +75,12 @@ def main():
         assert system.status == SystemStatus.WORKING
         return (n_ticks - R) / (time.perf_counter() - t0)
 
-    # warm both paths' compiles with a first pass, then measure a second
+    # one system per path (compiled programs persist across reset());
+    # first pass warms the compiles, second pass is the measurement
     for name, fn in [("sequential", run_sequential), ("rolled", run_rolled)]:
-        fn()               # compile warmup
-        rate = fn()        # measured
+        system = EsvoSystem(rig, make_config())
+        fn(system)               # compile warmup
+        rate = fn(system)        # measured
         print(f"{name:12s} {rate:8.1f} ticks/s")
         if name == "sequential":
             seq = rate

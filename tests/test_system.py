@@ -158,3 +158,29 @@ def test_closed_loop_process_ticks(world):
     ate = ate_rmse(t_est, T_est, t_est, gt_poses, align=True)
     print(f"rolled closed-loop ATE RMSE: {ate:.4f} m")
     assert ate < 0.08, f"ATE {ate}"
+
+
+def test_reconfigure(world):
+    """Runtime parameter updates (the reference's dynamic_reconfigure
+    with change-triggered reset, esvo_Mapping.cpp:806-866)."""
+    rig, scene, ticks, frames_l, frames_r = world
+    system = EsvoSystem(rig, make_config())
+    for k in range(10):
+        system.process_tick(float(ticks[k]), frame_at(frames_l, k),
+                            frame_at(frames_r, k), do_mapping=(k % 5 == 4))
+    assert system.status == SystemStatus.WORKING
+
+    # tighten a mapping knob at runtime -> programs rebuild + reset
+    import dataclasses
+    cfg2 = make_config()
+    cfg2 = dataclasses.replace(
+        cfg2, mapping=dataclasses.replace(cfg2.mapping,
+                                          process_event_num=640))
+    system.reconfigure(cfg2)
+    assert system.status == SystemStatus.INITIALIZATION
+    assert system.N == 640
+    # the loop keeps running after the reset
+    for k in range(10, 20):
+        system.process_tick(float(ticks[k]), frame_at(frames_l, k),
+                            frame_at(frames_r, k), do_mapping=(k % 5 == 4))
+    assert system.status == SystemStatus.WORKING
