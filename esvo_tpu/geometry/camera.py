@@ -196,8 +196,19 @@ def inverse_rectification_map(params: PinholeParams) -> jax.Array:
 def remap_bilinear(img: jax.Array, map_xy: jax.Array,
                    fill: float = 0.0) -> jax.Array:
     """Bilinear resampling img (H, W) at map_xy (..., 2); out-of-bounds
-    samples produce `fill` (cv::remap BORDER_CONSTANT semantics)."""
+    samples produce `fill` (cv::remap BORDER_CONSTANT semantics).
+
+    On TPU with a concrete full-image map (the per-camera rectification
+    LUT — static across calls) this routes to the Pallas fixed-map
+    kernel: XLA's arbitrary per-element gather runs at ~9 ns/element
+    (11.5 ms at 640x480), the planned kernel at band-load speed."""
     H, W = img.shape
+    if (fill == 0.0 and img.dtype == jnp.float32
+            and not isinstance(map_xy, jax.core.Tracer)
+            and map_xy.shape == (H, W, 2)
+            and jax.default_backend() == "tpu"):
+        from esvo_tpu.ops.pallas_remap import remap_fixed_map
+        return remap_fixed_map(img, map_xy)
     x = map_xy[..., 0]
     y = map_xy[..., 1]
     x0 = jnp.floor(x)

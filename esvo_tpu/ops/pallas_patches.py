@@ -32,8 +32,12 @@ def _kernel(uy_ref, ux_ref, img_ref, out_ref, *, h: int, w: int, B: int):
         x = ux_ref[i * B + b]
         y_base = pl.multiple_of((y // 8) * 8, 8)
         slab = img_ref[pl.ds(y_base, h + 8), :]
-        slab = pltpu.roll(slab, -(y - y_base), axis=0)
-        slab = pltpu.roll(slab, -x, axis=1)
+        # non-negative roll shifts only: negative traced shifts can
+        # abort (or worse, miscompile) the Mosaic vector-layout pass
+        # depending on surrounding code (see ops/pallas_remap.py)
+        Wp = slab.shape[1]
+        slab = pltpu.roll(slab, (h + 8 - (y - y_base)) % (h + 8), axis=0)
+        slab = pltpu.roll(slab, (Wp - x) % Wp, axis=1)
         out_ref[b] = slab[:h, :w]
         return 0
 

@@ -94,6 +94,58 @@ class SystemConfig:
                 * self.depth.patch_area)
 
     @staticmethod
+    def from_dict(d: dict) -> "SystemConfig":
+        """Build from a nested dict in the native schema: section names
+        are SystemConfig field names, keys inside each section are that
+        config dataclass's field names (the shipped per-dataset presets
+        under configs/ use this format)."""
+        cfg = SystemConfig()
+        types = {
+            "surface": TimeSurfaceConfig, "bm": BlockMatchConfig,
+            "depth": DepthProblemConfig, "fusion": FusionConfig,
+            "regularizer": RegularizationConfig, "sgm": SGMConfig,
+            "tracker": RegProblemConfig, "mapping": MappingConfig,
+            "tracking": TrackingNodeConfig,
+        }
+        for section, values in d.items():
+            if section not in types:
+                if section == "dataset":
+                    continue
+                raise KeyError(f"unknown config section {section!r}; "
+                               f"expected one of {sorted(types)}")
+            cls = types[section]
+            names = {f.name for f in dataclasses.fields(cls)}
+            bad = set(values) - names
+            if bad:
+                raise KeyError(f"unknown keys {sorted(bad)} in config "
+                               f"section {section!r}")
+            setattr(cfg, section, cls(**values))
+        cfg.__post_init__()
+        return cfg
+
+    @staticmethod
+    def from_preset(name_or_path: str) -> "SystemConfig":
+        """Load a shipped per-dataset preset ("rpg", "upenn", "hkust",
+        "dsec", "simulation" — the analogue of the reference's
+        cfg/{mapping,tracking}/*.yaml pairs) or any YAML file in the
+        native nested schema."""
+        import os
+        import yaml
+
+        path = name_or_path
+        if not os.path.exists(path):
+            root = os.path.join(os.path.dirname(__file__), "..", "..",
+                                "configs")
+            path = os.path.join(root, f"{name_or_path}.yaml")
+            if not os.path.exists(path):
+                avail = sorted(p[:-5] for p in os.listdir(root)
+                               if p.endswith(".yaml"))
+                raise FileNotFoundError(
+                    f"no preset {name_or_path!r}; available: {avail}")
+        with open(path) as f:
+            return SystemConfig.from_dict(yaml.safe_load(f))
+
+    @staticmethod
     def from_yaml(mapping_yaml: str | None = None,
                   tracking_yaml: str | None = None,
                   time_surface_yaml: str | None = None) -> "SystemConfig":
@@ -105,10 +157,13 @@ class SystemConfig:
         if mapping_yaml:
             with open(mapping_yaml) as f:
                 m = yaml.safe_load(f)
+            # the reference's mapping YAMLs are inconsistent: rpg/hkust
+            # name the key "Lnorm", upenn/dsec "LSnorm"
+            lnorm = str(m.get("Lnorm", m.get("LSnorm", "Tdist")))
             cfg.depth = DepthProblemConfig(
                 patch_size_x=int(m.get("patch_size_X", 15)),
                 patch_size_y=int(m.get("patch_size_Y", 7)),
-                ls_norm=str(m.get("Lnorm", "Tdist")),
+                ls_norm=lnorm,
                 td_nu=float(m.get("Tdist_nu", 2.1897)),
                 td_scale=float(m.get("Tdist_scale", 16.6397)),
                 max_iteration=int(m.get("ITERATION_OPTIMIZATION", 10)),
@@ -127,7 +182,7 @@ class SystemConfig:
                 up_down=bool(m.get("BM_bUpDownConfiguration", False)),
                 smooth_time_surface=bool(m.get("SmoothTimeSurface", False)))
             cfg.fusion = FusionConfig(
-                ls_norm=str(m.get("Lnorm", "Tdist")),
+                ls_norm=lnorm,
                 fusion_radius=int(m.get("fusion_radius", 0)))
             cfg.mapping = MappingConfig(
                 inv_depth_min_range=float(m.get("invDepth_min_range", 0.2)),
@@ -163,7 +218,10 @@ class SystemConfig:
                 batch_size=int(t.get("BATCH_SIZE", 300)),
                 max_iteration=int(t.get("MAX_ITERATION", 10)),
                 ls_norm=str(t.get("LSnorm", "Huber")),
-                min_num_events=int(t.get("MIN_NUM_EVENTS", 1000)))
+                min_num_events=int(t.get("MIN_NUM_EVENTS", 1000)),
+                # RegProblemType: 0 numerical, 1 analytical
+                # (esvo_Tracking.cpp reads it; RegProblemSolverLM.cpp:76-145)
+                use_numerical_diff=int(t.get("RegProblemType", 1)) == 0)
             cfg.tracking = TrackingNodeConfig(
                 tracking_rate_hz=float(t.get("tracking_rate_hz", 100)),
                 ref_history_length=int(t.get("REF_HISTORY_LENGTH", 10)),

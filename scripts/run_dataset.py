@@ -46,6 +46,10 @@ def parse_args(argv=None):
     ap.add_argument("--calib", required=True,
                     help="calibration dir holding left.yaml/right.yaml "
                          "(reference esvo_core/calib/<dataset> format)")
+    ap.add_argument("--preset", help="shipped per-dataset preset name "
+                    "(rpg/upenn/hkust/dsec/simulation, see configs/) or a "
+                    "path to a native-schema YAML; overridden by the "
+                    "reference-format --*-yaml flags when those are given")
     ap.add_argument("--mapping-yaml", help="reference mapping cfg YAML")
     ap.add_argument("--tracking-yaml", help="reference tracking cfg YAML")
     ap.add_argument("--ts-yaml", help="reference time-surface cfg YAML")
@@ -137,8 +141,12 @@ def main(argv=None):
     from esvo_tpu.eval.trajectory import save_tum, ate_rmse
 
     rig = load_rig(args.calib)
-    cfg = SystemConfig.from_yaml(args.mapping_yaml, args.tracking_yaml,
-                                 args.ts_yaml)
+    if args.preset and not (args.mapping_yaml or args.tracking_yaml
+                            or args.ts_yaml):
+        cfg = SystemConfig.from_preset(args.preset)
+    else:
+        cfg = SystemConfig.from_yaml(args.mapping_yaml, args.tracking_yaml,
+                                     args.ts_yaml)
 
     ev_l, ev_r, gt_times, gt_poses = load_events(args)
     if args.mode == "mvstereo" and gt_times is None:
