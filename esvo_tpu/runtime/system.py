@@ -845,6 +845,24 @@ class EsvoSystem:
         return (np.asarray(self.grid.inv_depth),
                 np.asarray(self.grid.occupied))
 
+    def save_depth_map(self, save_dir: str, t: float | None = None) -> str:
+        """Per-cycle depth-map txt dump for offline paper comparisons
+        (saveDepthMap, esvo_MVStereo.cpp:982-1000): one line
+        ``x y z`` per valid point — the sub-pixel rectified coordinate
+        and the depth in the frame's camera — in a file named by the
+        timestamp in nanoseconds, matching the reference. Returns the
+        written path."""
+        import os
+        os.makedirs(save_dir, exist_ok=True)
+        if t is None:
+            t = self.last_tick_time or 0.0
+        path = os.path.join(save_dir, f"{int(round(t * 1e9))}.txt")
+        occ = np.asarray(self.grid.occupied)
+        x = np.asarray(self.grid.x)[occ]
+        z = np.asarray(self.grid.p_cam)[occ][:, 2]
+        np.savetxt(path, np.column_stack([x, z]), fmt="%.9g")
+        return path
+
     def render_debug_maps(self) -> dict:
         """The reference's per-cycle debug images (publishMappingResults,
         esvo_Mapping.cpp:868-907): invDepth / stdVar / age / cost false-

@@ -73,6 +73,10 @@ def parse_args(argv=None):
     ap.add_argument("--debug-maps",
                     help="directory: dump invDepth/stdVar/age/cost/"
                          "reprojection PNGs every mapping cycle")
+    ap.add_argument("--save-depth-maps",
+                    help="directory: dump per-mapping-cycle depth-map txt "
+                         "files ('x y z' per valid point, nanosecond-stamped "
+                         "names; reference saveDepthMap format)")
     ap.add_argument("--global-map-out",
                     help="write the accumulated voxel-downsampled global "
                          "point cloud (xyz text) here")
@@ -135,7 +139,7 @@ def main(argv=None):
     args = parse_args(argv)
 
     from esvo_tpu.geometry.camera import load_rig
-    from esvo_tpu.io.events import frame_events
+    from esvo_tpu.io.stream import EventFrameStream
     from esvo_tpu.runtime.config import SystemConfig
     from esvo_tpu.runtime.system import EsvoSystem, SystemStatus
     from esvo_tpu.eval.trajectory import save_tum, ate_rmse
@@ -164,8 +168,12 @@ def main(argv=None):
               f"{len(sync_times)} ticks @ {args.tick_rate_hz:g} Hz, "
               f"capacity {capacity}")
 
-    frames_l = frame_events(ev_l.slice_time(t0, t1), sync_times, capacity)
-    frames_r = frame_events(ev_r.slice_time(t0, t1), sync_times, capacity)
+    # streaming framer: O(capacity) memory per in-flight frame, with a
+    # prefetch thread overlapping host framing and device compute
+    stream_l = EventFrameStream(ev_l.slice_time(t0, t1), sync_times,
+                                capacity, prefetch=2)
+    stream_r = EventFrameStream(ev_r.slice_time(t0, t1), sync_times,
+                                capacity, prefetch=2)
 
     system = EsvoSystem(rig, cfg,
                         emit_debug_maps=bool(args.debug_maps))
@@ -184,38 +192,47 @@ def main(argv=None):
     last_ckpt = t0
     wall0 = time.perf_counter()
     R = max(args.roll, 0)
+    if R > 1:
+        pairs = zip(stream_l.rolls(R), stream_r.rolls(R))
+    else:
+        pairs = zip(stream_l, stream_r)
     k = 0
-    while k < len(sync_times):
-        if R > 1 and k + R <= len(sync_times):
-            # fused roll: K ticks per device program, async mapping
-            sl = slice(k, k + R)
-            evl = {key: v[sl] for key, v in frames_l.items()
-                   if key != "dropped"}
-            evr = {key: v[sl] for key, v in frames_r.items()
-                   if key != "dropped"}
+    for (tl, fl), (_, fr) in pairs:
+        fl = {key: v for key, v in fl.items() if key != "dropped"}
+        fr = {key: v for key, v in fr.items() if key != "dropped"}
+        if R > 1 and len(tl) == R:
+            # fused roll: R ticks per device program, async mapping
             gts = None
             if args.mode == "mvstereo":
                 gts = np.stack([interpolate_gt(gt_times, gt_poses, t)
-                                for t in sync_times[sl]])
-            out = system.process_ticks(sync_times[sl], evl, evr,
-                                       gt_poses=gts, do_mapping=True)
+                                for t in tl])
+            out = system.process_ticks(tl, fl, fr, gt_poses=gts,
+                                       do_mapping=True)
             step = R
         else:
-            fl = {key: v[k] for key, v in frames_l.items()
-                  if key != "dropped"}
-            fr = {key: v[k] for key, v in frames_r.items()
-                  if key != "dropped"}
-            gt = None
-            if args.mode == "mvstereo":
-                gt = interpolate_gt(gt_times, gt_poses, sync_times[k])
-            out = system.process_tick(float(sync_times[k]), fl, fr,
-                                      gt_pose=gt)
-            step = 1
+            # single tick — or a short final roll, unstacked tick-by-tick
+            # (avoids a one-off compile of an R'-tick program)
+            if R > 1:
+                ticks = [(float(tl[i]),
+                          {key: v[i] for key, v in fl.items()},
+                          {key: v[i] for key, v in fr.items()})
+                         for i in range(len(tl))]
+            else:
+                ticks = [(float(tl), fl, fr)]
+            for ts_k, f1, f2 in ticks:
+                gt = None
+                if args.mode == "mvstereo":
+                    gt = interpolate_gt(gt_times, gt_poses, ts_k)
+                out = system.process_tick(ts_k, f1, f2, gt_pose=gt)
+            step = len(ticks)
         t_sync = sync_times[min(k + step - 1, len(sync_times) - 1)]
         if backend is not None:
             backend.maybe_update(out)
         if args.debug_maps and "maps" in out:
             _dump_maps(args.debug_maps, k, out["maps"])
+        if args.save_depth_maps and ("bm_stats" in out
+                                     or "sgm_points" in out):
+            system.save_depth_map(args.save_depth_maps)
         if args.checkpoint_every and \
                 t_sync - last_ckpt >= args.checkpoint_every:
             from esvo_tpu.runtime.checkpoint import save_checkpoint

@@ -123,6 +123,7 @@ def test_run_dataset_closed_loop(dataset_dir, tmp_path):
     import run_dataset
     out = str(tmp_path / "traj.txt")
     gm = str(tmp_path / "global_map.xyz")
+    dm_dir = str(tmp_path / "depth_maps")
     result = run_dataset.main([
         "--dataset", str(dataset_dir),
         "--calib", str(dataset_dir / "calib"),
@@ -132,8 +133,16 @@ def test_run_dataset_closed_loop(dataset_dir, tmp_path):
         "--duration", "0.6",
         "--out", out,
         "--global-map-out", gm,
+        "--save-depth-maps", dm_dir,
         "--quiet",
     ])
+    # per-cycle depth-map dumps (saveDepthMap, esvo_MVStereo.cpp:982-1000):
+    # nanosecond-stamped txt files of "x y z" rows
+    dumps = sorted(os.listdir(dm_dir))
+    assert len(dumps) >= 5 and all(f.endswith(".txt") for f in dumps)
+    rows = np.loadtxt(os.path.join(dm_dir, dumps[-1]))
+    assert rows.ndim == 2 and rows.shape[1] == 3 and rows.shape[0] > 100
+    assert (rows[:, 2] > 0).all()
     assert os.path.exists(out)
     t, T = load_tum(out)
     assert len(t) >= 50
