@@ -207,8 +207,10 @@ def remap_bilinear(img: jax.Array, map_xy: jax.Array,
             and not isinstance(map_xy, jax.core.Tracer)
             and map_xy.shape == (H, W, 2)
             and jax.default_backend() == "tpu"):
-        from esvo_tpu.ops.pallas_remap import remap_fixed_map
-        return remap_fixed_map(img, map_xy)
+        from esvo_tpu.ops.pallas_remap import (plan_is_banded,
+                                               remap_fixed_map)
+        if plan_is_banded(map_xy, H, W):
+            return remap_fixed_map(img, map_xy)
     x = map_xy[..., 0]
     y = map_xy[..., 1]
     x0 = jnp.floor(x)

@@ -242,11 +242,30 @@ def get_plan(map_xy, height: int, width: int):
     return entry
 
 
+# Band-size ceiling for routing to the kernel: the loop body unrolls
+# (BH-1) adds inside a U-trip fori, so pathological (non-smooth) maps
+# would compile a huge kernel that loses to the XLA gather anyway.
+# Real rectification LUTs measure BH <= ~36, U <= ~50.
+MAX_BAND = 96
+
+
+def plan_is_banded(map_xy, height: int, width: int) -> bool:
+    """True when the map is smooth enough for the banded kernel."""
+    _, static = get_plan(map_xy, height, width)
+    return static.BH <= MAX_BAND and static.U <= MAX_BAND
+
+
 def remap_fixed_map(img: jax.Array, map_xy, interpret: bool = False):
     """Bilinear remap of img (H, W) with a CONCRETE (H, W, 2) map.
 
     Exactly remap_bilinear(img, map_xy, fill=0.0); the map must not be
-    a tracer (it is baked into the plan)."""
+    a tracer (it is baked into the plan). Callers should check
+    plan_is_banded first — pathological maps raise."""
     H, W = img.shape
     arrays, static = get_plan(map_xy, H, W)
+    if static.BH > MAX_BAND or static.U > MAX_BAND:
+        raise ValueError(
+            f"remap_fixed_map: map bands too wide for the banded kernel "
+            f"(BH={static.BH}, U={static.U} > {MAX_BAND}); use the XLA "
+            f"gather path")
     return _remap_with_plan(img, arrays, static, interpret=interpret)

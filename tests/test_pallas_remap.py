@@ -90,6 +90,20 @@ def test_interpret_parity_out_of_bounds():
     assert np.all(out[outside] == 0.0)
 
 
+def test_pathological_map_rejected():
+    """Non-smooth maps (here: a transpose-like warp) must be refused by
+    the banded kernel and flagged for the XLA gather fallback."""
+    from esvo_tpu.ops.pallas_remap import plan_is_banded, remap_fixed_map
+    H, W = 64, 256
+    yy, xx = np.meshgrid(np.arange(H, dtype=np.float64),
+                         np.arange(W, dtype=np.float64), indexing="ij")
+    m = np.stack([(yy * 3.9) % W, (xx / 4.0) % H], -1).astype(np.float32)
+    assert not plan_is_banded(m, H, W)
+    img = jnp.zeros((H, W), jnp.float32)
+    with pytest.raises(ValueError, match="bands too wide"):
+        remap_fixed_map(img, m, interpret=True)
+
+
 def test_real_rectification_lut_parity():
     """Use the real rpg calibration inverse map if the plan-building path
     handles a genuine distortion+rectification LUT."""
