@@ -19,3 +19,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the e2e/mesh tests are dominated by CPU
+# compiles of large programs; the cache keys by HLO hash, so repeat runs
+# (and unchanged programs across edits) skip them safely.
+_cache_dir = os.environ.get("ESVO_TEST_CACHE",
+                            "/tmp/esvo_tpu_jax_test_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # older jax without the knobs: run uncached
+    pass
