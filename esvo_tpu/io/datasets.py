@@ -22,20 +22,44 @@ import numpy as np
 from esvo_tpu.io.events import EventArray
 
 
-def load_rpg_dataset(path: str, max_events: int | None = None):
+def load_rpg_dataset(path: str, max_events: int | None = None,
+                     cache: bool = False):
     """Load an rpg-format directory: events_left.txt / events_right.txt /
-    groundtruth.txt. Returns (ev_left, ev_right, gt_times, gt_poses)."""
-    from esvo_tpu.io.native import load_events_native
-    ev_l = load_events_native(os.path.join(path, "events_left.txt"),
-                              max_events)
-    ev_r = load_events_native(os.path.join(path, "events_right.txt"),
-                              max_events)
+    groundtruth.txt. Returns (ev_left, ev_right, gt_times, gt_poses).
+
+    cache=True writes a packed .npz next to each txt on first load and
+    memload-reloads it afterwards (the offline-conversion analogue of
+    events_repacking_helper's one-time bag rewrite)."""
+    ev_l = _load_txt_cached(os.path.join(path, "events_left.txt"),
+                            max_events, cache)
+    ev_r = _load_txt_cached(os.path.join(path, "events_right.txt"),
+                            max_events, cache)
     gt_times, gt_poses = None, None
     gt_file = os.path.join(path, "groundtruth.txt")
     if os.path.exists(gt_file):
         from esvo_tpu.eval.trajectory import load_tum
         gt_times, gt_poses = load_tum(gt_file)
     return ev_l, ev_r, gt_times, gt_poses
+
+
+def _load_txt_cached(txt_path: str, max_events, cache: bool):
+    from esvo_tpu.io.native import load_events_native
+    if not cache:
+        return load_events_native(txt_path, max_events)
+    from esvo_tpu.io.events import load_events_npz, save_events_npz, \
+        EventArray
+    npz = txt_path + ".npz"
+    if os.path.exists(npz) and \
+            os.path.getmtime(npz) >= os.path.getmtime(txt_path):
+        ev = load_events_npz(npz)
+    else:
+        ev = load_events_native(txt_path, None)
+        save_events_npz(npz, ev)
+    if max_events is not None and len(ev) > max_events:
+        ev = EventArray(t=ev.t[:max_events], x=ev.x[:max_events],
+                        y=ev.y[:max_events], p=ev.p[:max_events],
+                        t_offset=ev.t_offset)
+    return ev
 
 
 def load_mvsec_events(h5_path: str, camera: str = "left",

@@ -58,6 +58,19 @@ class EventArray:
                           self.p[lo:hi], t_offset=self.t_offset)
 
 
+def save_events_npz(path: str, ev: EventArray) -> None:
+    """Write a packed binary event bundle (fast reload via load_events_npz)."""
+    np.savez(path, t=ev.t, x=ev.x, y=ev.y, p=ev.p,
+             t_offset=np.float64(ev.t_offset))
+
+
+def load_events_npz(path: str) -> EventArray:
+    """Load a bundle written by save_events_npz."""
+    d = np.load(path)
+    return EventArray(t=d["t"], x=d["x"], y=d["y"], p=d["p"],
+                      t_offset=float(d["t_offset"]))
+
+
 def load_events_txt(path: str, max_events: int | None = None) -> EventArray:
     """Load a DAVIS `events.txt` (t x y p per line)."""
     data = np.loadtxt(path, dtype=np.float64,

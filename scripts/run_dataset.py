@@ -68,6 +68,9 @@ def parse_args(argv=None):
                          "PROCESS_EVENT_NUM)")
     ap.add_argument("--max-events", type=int, default=None,
                     help="cap loaded events (smoke runs)")
+    ap.add_argument("--cache", action="store_true",
+                    help="cache parsed rpg txt events as .npz next to the "
+                         "source for instant reload")
     ap.add_argument("--out", default="trajectory.txt",
                     help="TUM trajectory output path")
     ap.add_argument("--debug-maps",
@@ -103,7 +106,8 @@ def load_events(args):
     """Returns (ev_left, ev_right, gt_times, gt_poses)."""
     if args.dataset:
         from esvo_tpu.io.datasets import load_rpg_dataset
-        return load_rpg_dataset(args.dataset, args.max_events)
+        return load_rpg_dataset(args.dataset, args.max_events,
+                                cache=args.cache)
     if args.mvsec:
         from esvo_tpu.io.datasets import (load_mvsec_events,
                                           load_mvsec_gt_poses)

@@ -62,3 +62,15 @@ def test_rpg_dataset_dir(tmp_path):
     assert len(ev_l) == 50 and len(ev_r) == 50
     assert len(gt_t) == 2
     np.testing.assert_allclose(gt_T[1, :3, 3], [1, 0, 0])
+
+    # cache=True: writes .npz bundles, reloads identically (incl. a
+    # max_events cap applied after the cache read)
+    c_l, c_r, _, _ = datasets.load_rpg_dataset(str(tmp_path), cache=True)
+    assert (tmp_path / "events_left.txt.npz").exists()
+    c2_l, _, _, _ = datasets.load_rpg_dataset(str(tmp_path), cache=True,
+                                              max_events=20)
+    np.testing.assert_array_equal(c_l.t, ev_l.t)
+    np.testing.assert_array_equal(c_l.x, ev_l.x)
+    np.testing.assert_array_equal(c_l.p, ev_l.p)
+    assert len(c2_l) == 20
+    np.testing.assert_array_equal(c2_l.t, ev_l.t[:20])
