@@ -92,6 +92,11 @@ def parse_args(argv=None):
                          "(process_ticks pipelining; 0 = sequential). "
                          "Mapping runs once per roll, so pick "
                          "tick_rate/mapping_rate (e.g. 5 at 100/20 Hz)")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="shard the mapping event axis (and BA, with --ba) "
+                         "over the first N jax devices "
+                         "(EsvoSystem(mesh=...); PROCESS_EVENT_NUM must "
+                         "divide N)")
     ap.add_argument("--ba", action="store_true",
                     help="run the sliding-window bundle-adjustment "
                          "backend (a capability beyond the reference)")
@@ -179,13 +184,18 @@ def main(argv=None):
     stream_r = EventFrameStream(ev_r.slice_time(t0, t1), sync_times,
                                 capacity, prefetch=2)
 
+    mesh = None
+    if args.devices > 1:
+        from esvo_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(args.devices)
     system = EsvoSystem(rig, cfg,
-                        emit_debug_maps=bool(args.debug_maps))
+                        emit_debug_maps=bool(args.debug_maps),
+                        mesh=mesh)
     backend = None
     if args.ba:
         from esvo_tpu.runtime.backend_loop import BackendLoop
         backend = BackendLoop(system, keyframe_every=args.ba_every,
-                              window=args.ba_window)
+                              window=args.ba_window, mesh=mesh)
     if args.resume:
         from esvo_tpu.runtime.checkpoint import load_checkpoint
         load_checkpoint(system, args.resume)

@@ -154,6 +154,26 @@ def test_run_dataset_closed_loop(dataset_dir, tmp_path):
     assert gm_pts.shape[0] > 200 and gm_pts.shape[1] == 3
 
 
+def test_run_dataset_sharded(dataset_dir, tmp_path):
+    """--devices 2: the replay CLI drives EsvoSystem(mesh=...) — the
+    mapping event axis sharded over two virtual devices."""
+    import run_dataset
+    out = str(tmp_path / "traj_sh.txt")
+    result = run_dataset.main([
+        "--dataset", str(dataset_dir),
+        "--calib", str(dataset_dir / "calib"),
+        "--mapping-yaml", str(dataset_dir / "cfg" / "mapping.yaml"),
+        "--tracking-yaml", str(dataset_dir / "cfg" / "tracking.yaml"),
+        "--ts-yaml", str(dataset_dir / "cfg" / "ts.yaml"),
+        "--duration", "0.35",
+        "--devices", "2",
+        "--out", out,
+        "--quiet",
+    ])
+    assert result["stats"]["map_points"] > 150
+    assert result["ate_rmse_m"] < 0.15, result
+
+
 def test_run_dataset_mvstereo_mode(dataset_dir, tmp_path):
     import run_dataset
     out = str(tmp_path / "traj_mv.txt")
