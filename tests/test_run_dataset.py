@@ -154,9 +154,10 @@ def test_run_dataset_closed_loop(dataset_dir, tmp_path):
     assert gm_pts.shape[0] > 200 and gm_pts.shape[1] == 3
 
 
-def test_run_dataset_sharded(dataset_dir, tmp_path):
-    """--devices 2: the replay CLI drives EsvoSystem(mesh=...) — the
-    mapping event axis sharded over two virtual devices."""
+def test_run_dataset_sharded_rolls(dataset_dir, tmp_path):
+    """--devices 2 --roll 5: the replay CLI drives EsvoSystem(mesh=...)
+    — mapping event axis sharded over two virtual devices — through the
+    fused multi-tick roll path."""
     import run_dataset
     out = str(tmp_path / "traj_sh.txt")
     result = run_dataset.main([
@@ -167,6 +168,7 @@ def test_run_dataset_sharded(dataset_dir, tmp_path):
         "--ts-yaml", str(dataset_dir / "cfg" / "ts.yaml"),
         "--duration", "0.35",
         "--devices", "2",
+        "--roll", "5",
         "--out", out,
         "--quiet",
     ])
