@@ -37,6 +37,25 @@ def load_tum(path: str):
     return times, poses
 
 
+def interpolate_pose(times: np.ndarray, poses: np.ndarray,
+                     t: float) -> np.ndarray:
+    """Pose at time t from a stamped table: translation lerp + rotation
+    lerp projected back to SO(3) (SVD). Queries outside the table clamp
+    to the end segments. The single host-side pose interpolator (the
+    synthetic GT lookup and the replay CLI both delegate here)."""
+    i = int(np.clip(np.searchsorted(times, t), 1, len(times) - 1))
+    t0, t1 = times[i - 1], times[i]
+    a = 0.0 if t1 == t0 else float(np.clip((t - t0) / (t1 - t0), 0.0, 1.0))
+    T0, T1 = poses[i - 1], poses[i]
+    M = (1 - a) * T0[:3, :3] + a * T1[:3, :3]
+    U, _, Vt = np.linalg.svd(M)
+    R = U @ np.diag([1, 1, np.sign(np.linalg.det(U @ Vt))]) @ Vt
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = (1 - a) * T0[:3, 3] + a * T1[:3, 3]
+    return T
+
+
 def umeyama_alignment(src: np.ndarray, dst: np.ndarray,
                       with_scale: bool = False):
     """Least-squares similarity/rigid alignment dst ~ s R src + t.

@@ -63,19 +63,36 @@ def _load_txt_cached(txt_path: str, max_events, cache: bool):
 
 
 def load_mvsec_events(h5_path: str, camera: str = "left",
-                      max_events: int | None = None) -> EventArray:
-    """MVSEC data hdf5: /davis/<cam>/events rows are [x, y, t, p(-1/1)]."""
+                      max_events: int | None = None,
+                      origin: float | None = None) -> EventArray:
+    """MVSEC data hdf5: /davis/<cam>/events rows are [x, y, t, p(-1/1)].
+
+    MVSEC timestamps are absolute epoch seconds (~1.4e9): they are
+    rebased so downstream float32 framing keeps sub-ms resolution.
+    origin=None rebases to this camera's own first event — for a stereo
+    pair pass one shared origin (or use load_mvsec_stereo)."""
     import h5py
     with h5py.File(h5_path, "r") as f:
         ds = f["davis"][camera]["events"]
         n = len(ds) if max_events is None else min(len(ds), max_events)
         ev = ds[:n]
-    # MVSEC timestamps are absolute epoch seconds (~1.4e9): rebase so
-    # downstream float32 framing keeps sub-ms resolution.
     return EventArray(t=ev[:, 2].astype(np.float64),
                       x=ev[:, 0].astype(np.int32),
                       y=ev[:, 1].astype(np.int32),
-                      p=ev[:, 3] > 0).rebased()
+                      p=ev[:, 3] > 0).rebased(origin)
+
+
+def load_mvsec_stereo(h5_path: str, max_events: int | None = None):
+    """Both MVSEC cameras rebased to ONE shared origin (the earlier of
+    the two first events) so the stereo pair stays time-synchronized.
+    Returns (ev_left, ev_right)."""
+    ev_l = load_mvsec_events(h5_path, "left", max_events, origin=0.0)
+    ev_r = load_mvsec_events(h5_path, "right", max_events, origin=0.0)
+    origin = min(float(ev_l.t[0]) if len(ev_l) else np.inf,
+                 float(ev_r.t[0]) if len(ev_r) else np.inf)
+    if not np.isfinite(origin):
+        return ev_l, ev_r
+    return ev_l.rebased(origin), ev_r.rebased(origin)
 
 
 def load_mvsec_gt_poses(gt_h5_path: str, camera: str = "left"):
@@ -89,9 +106,13 @@ def load_mvsec_gt_poses(gt_h5_path: str, camera: str = "left"):
 
 
 def load_dsec_events(h5_path: str,
-                     max_events: int | None = None) -> EventArray:
+                     max_events: int | None = None,
+                     origin: float | None = None) -> EventArray:
     """DSEC event hdf5: /events/{x,y,t,p}, t in microseconds relative to
-    /t_offset."""
+    /t_offset.
+
+    origin=None rebases to this camera's own first event — for a stereo
+    pair pass one shared origin (or use load_dsec_stereo)."""
     import h5py
     with h5py.File(h5_path, "r") as f:
         g = f["events"]
@@ -103,4 +124,17 @@ def load_dsec_events(h5_path: str,
         return EventArray(t=t * 1e-6,
                           x=g["x"][:n].astype(np.int32),
                           y=g["y"][:n].astype(np.int32),
-                          p=g["p"][:n] > 0).rebased()
+                          p=g["p"][:n] > 0).rebased(origin)
+
+
+def load_dsec_stereo(left_h5: str, right_h5: str,
+                     max_events: int | None = None):
+    """Both DSEC cameras rebased to ONE shared origin (the earlier of
+    the two first events). Returns (ev_left, ev_right)."""
+    ev_l = load_dsec_events(left_h5, max_events, origin=0.0)
+    ev_r = load_dsec_events(right_h5, max_events, origin=0.0)
+    origin = min(float(ev_l.t[0]) if len(ev_l) else np.inf,
+                 float(ev_r.t[0]) if len(ev_r) else np.inf)
+    if not np.isfinite(origin):
+        return ev_l, ev_r
+    return ev_l.rebased(origin), ev_r.rebased(origin)

@@ -42,13 +42,18 @@ class EventArray:
     def __len__(self):
         return len(self.t)
 
-    def rebased(self) -> "EventArray":
-        """Rebase t to the stream start, folding the shift into t_offset."""
-        if len(self.t) == 0 or abs(float(self.t[0])) < 1e3:
-            return self
-        t0 = float(self.t[0])
-        return EventArray(self.t - t0, self.x, self.y, self.p,
-                          t_offset=self.t_offset + t0)
+    def rebased(self, origin: float | None = None) -> "EventArray":
+        """Rebase t to `origin` (absolute), folding the shift into
+        t_offset. origin=None rebases to this stream's own first event —
+        NOT safe for stereo pairs whose first events differ: rebase both
+        cameras with one shared origin (the stereo loaders in
+        io/datasets.py do)."""
+        if origin is None:
+            if len(self.t) == 0 or abs(float(self.t[0])) < 1e3:
+                return self
+            origin = float(self.t[0])
+        return EventArray(self.t - origin, self.x, self.y, self.p,
+                          t_offset=self.t_offset + origin)
 
     def slice_time(self, t0: float, t1: float) -> "EventArray":
         """Events with t in (t0, t1]."""

@@ -194,19 +194,9 @@ def inject_sensor_noise(ev: EventArray, width: int, height: int,
 
 
 def interpolate_gt_pose(scene: SyntheticScene, t: float) -> np.ndarray:
-    """Linear/slerp-free GT pose lookup (nearest-segment lerp on translation,
-    good enough for smooth synthetic trajectories sampled densely)."""
-    i = np.clip(np.searchsorted(scene.traj_times, t), 1,
-                len(scene.traj_times) - 1)
-    t0, t1 = scene.traj_times[i - 1], scene.traj_times[i]
-    a = 0.0 if t1 == t0 else (t - t0) / (t1 - t0)
-    a = float(np.clip(a, 0.0, 1.0))
-    T0, T1 = scene.traj_poses[i - 1], scene.traj_poses[i]
-    # rotation: project the lerp back to SO(3)
-    M = (1 - a) * T0[:3, :3] + a * T1[:3, :3]
-    U, _, Vt = np.linalg.svd(M)
-    R = U @ np.diag([1, 1, np.sign(np.linalg.det(U @ Vt))]) @ Vt
-    T = np.eye(4)
-    T[:3, :3] = R
-    T[:3, 3] = (1 - a) * T0[:3, 3] + a * T1[:3, 3]
+    """GT pose lookup on the scene's stamped trajectory (shared
+    host-side interpolator: eval.trajectory.interpolate_pose)."""
+    from esvo_tpu.eval.trajectory import interpolate_pose
+    T = interpolate_pose(np.asarray(scene.traj_times),
+                         np.asarray(scene.traj_poses), t)
     return T

@@ -47,8 +47,11 @@ class BlockMatchConfig:
     zncc_threshold: float = struct.field(pytree_node=False, default=0.1)
     up_down: bool = struct.field(pytree_node=False, default=False)
     smooth_time_surface: bool = struct.field(pytree_node=False, default=False)
-    # require both neighbours of the cost minimum to be valid candidates
-    # (EventBM.cpp:207-225); disable to accept boundary minima
+    # require both neighbours of the cost minimum to be valid candidates.
+    # The reference applies this test ONLY in its coarse pass
+    # (EventBM.cpp:207-225 guards on searching_step > 1); with step=1 —
+    # every shipped preset — its fine pass accepts on threshold alone,
+    # so the check is likewise skipped here unless step > 1.
     check_local_minimum: bool = struct.field(pytree_node=False, default=True)
 
 
@@ -239,8 +242,10 @@ def _match_horizontal(ts_left, ts_right, x_rect, t, valid, mask, rig, cfg,
     # local-minimum acceptance (EventBM.cpp:207-225): the minimum must
     # have BOTH neighbour disparities as valid candidates — rejects
     # minima sitting at the search-range boundary, where the cost curve
-    # cannot be verified to turn upward.
-    if cfg.check_local_minimum:
+    # cannot be verified to turn upward. The reference runs this test
+    # only in its coarse pass (searching_step > 1); with step=1 its fine
+    # pass accepts on threshold alone, so we match that.
+    if cfg.check_local_minimum and cfg.step > 1:
         lo_ok = (best >= 1) & jnp.take_along_axis(
             ok_vol, jnp.maximum(best - 1, 0)[:, None], axis=1)[:, 0]
         hi_ok = (best <= D - 2) & jnp.take_along_axis(

@@ -95,8 +95,8 @@ class EsvoSystem:
             n = (config or SystemConfig()).mapping.process_event_num
             if n % n_dev != 0:
                 raise ValueError(
-                    f"process_event_num {n} must divide the mesh size "
-                    f"{n_dev} for event-axis sharding")
+                    f"process_event_num {n} must be divisible by the "
+                    f"mesh size {n_dev} for event-axis sharding")
         self.H = rig.left.height
         self.W = rig.left.width
         self.dtype = rig.left.lut.dtype
@@ -147,8 +147,8 @@ class EsvoSystem:
             self.F = m.max_fusion_frames
         if self.mesh is not None and self.N % self.mesh.size != 0:
             raise ValueError(
-                f"process_event_num {self.N} must divide the mesh size "
-                f"{self.mesh.size} for event-axis sharding")
+                f"process_event_num {self.N} must be divisible by the "
+                f"mesh size {self.mesh.size} for event-axis sharding")
         self._roll_programs = {}
         self._build_programs()
         if reset or self.N != old_N or self.F != old_F:
@@ -566,6 +566,13 @@ class EsvoSystem:
                           >= period - 1e-9)
 
         out = {"t": t_sync, "status": self.status.value}
+        # a fused roll may have parked an async mapping cycle
+        # (process_ticks consumes it one roll later); finalize it here so
+        # switching roll -> tick (e.g. a short final roll) cannot drop
+        # that cycle's map publish and stats
+        fin = self._finalize_pending_mapping()
+        if fin:
+            out.update(fin)
         self.ts_state_left, self.ts_state_right, ts_l, ts_r = \
             self._render_tick(self.ts_state_left, self.ts_state_right,
                               self._event_batch(ev_left),
@@ -820,6 +827,11 @@ class EsvoSystem:
                                        ev_last, T_wf,
                                        gt_mode=gt_poses is not None,
                                        out=out)
+            if self.emit_debug_maps:
+                # the grid is already rebuilt by the dispatch (only its
+                # stats hand-off is deferred), so the rendered maps show
+                # this roll's mapping cycle
+                out["maps"] = self.render_debug_maps()
         out["map_points"] = self.stats["map_points"]
         return out
 

@@ -29,6 +29,25 @@ struct EventStream {
   std::vector<uint8_t> p;
 };
 
+// Parse one "t x y p" line; returns false unless ALL four fields are
+// present (a truncated line must not fabricate zeroed fields).
+static bool parse_event_line(const char* line, double* tv, long* xv,
+                             long* yv, long* pv) {
+  char* cur = const_cast<char*>(line);
+  char* prev = cur;
+  *tv = std::strtod(cur, &cur);
+  if (cur == prev) return false;
+  prev = cur;
+  *xv = std::strtol(cur, &cur, 10);
+  if (cur == prev) return false;
+  prev = cur;
+  *yv = std::strtol(cur, &cur, 10);
+  if (cur == prev) return false;
+  prev = cur;
+  *pv = std::strtol(cur, &cur, 10);
+  return cur != prev;
+}
+
 }  // namespace
 
 extern "C" {
@@ -68,12 +87,9 @@ void* el_load_txt(const char* path, int64_t max_events, int64_t* n_out) {
         carry.clear();
         line_start = tmp.c_str();
       }
-      char* cur = const_cast<char*>(line_start);
-      double tv = std::strtod(cur, &cur);
-      long xv = std::strtol(cur, &cur, 10);
-      long yv = std::strtol(cur, &cur, 10);
-      long pv = std::strtol(cur, &cur, 10);
-      if (cur != line_start) {
+      double tv;
+      long xv, yv, pv;
+      if (parse_event_line(line_start, &tv, &xv, &yv, &pv)) {
         s->t.push_back(tv);
         s->x.push_back(static_cast<int32_t>(xv));
         s->y.push_back(static_cast<int32_t>(yv));
@@ -90,13 +106,9 @@ void* el_load_txt(const char* path, int64_t max_events, int64_t* n_out) {
   if (!carry.empty() &&
       (max_events <= 0 ||
        static_cast<int64_t>(s->t.size()) < max_events)) {
-    char* cur = carry.data();
-    const char* line_start = cur;
-    double tv = std::strtod(cur, &cur);
-    long xv = std::strtol(cur, &cur, 10);
-    long yv = std::strtol(cur, &cur, 10);
-    long pv = std::strtol(cur, &cur, 10);
-    if (cur != line_start) {
+    double tv;
+    long xv, yv, pv;
+    if (parse_event_line(carry.c_str(), &tv, &xv, &yv, &pv)) {
       s->t.push_back(tv);
       s->x.push_back(static_cast<int32_t>(xv));
       s->y.push_back(static_cast<int32_t>(yv));

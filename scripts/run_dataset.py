@@ -95,8 +95,8 @@ def parse_args(argv=None):
     ap.add_argument("--devices", type=int, default=1,
                     help="shard the mapping event axis (and BA, with --ba) "
                          "over the first N jax devices "
-                         "(EsvoSystem(mesh=...); PROCESS_EVENT_NUM must "
-                         "divide N)")
+                         "(EsvoSystem(mesh=...); PROCESS_EVENT_NUM must be "
+                         "divisible by N)")
     ap.add_argument("--ba", action="store_true",
                     help="run the sliding-window bundle-adjustment "
                          "backend (a capability beyond the reference)")
@@ -114,34 +114,27 @@ def load_events(args):
         return load_rpg_dataset(args.dataset, args.max_events,
                                 cache=args.cache)
     if args.mvsec:
-        from esvo_tpu.io.datasets import (load_mvsec_events,
+        from esvo_tpu.io.datasets import (load_mvsec_stereo,
                                           load_mvsec_gt_poses)
-        ev_l = load_mvsec_events(args.mvsec, "left", args.max_events)
-        ev_r = load_mvsec_events(args.mvsec, "right", args.max_events)
+        ev_l, ev_r = load_mvsec_stereo(args.mvsec, args.max_events)
         gt_t, gt_T = (None, None)
         if args.mvsec_gt:
             gt_t, gt_T = load_mvsec_gt_poses(args.mvsec_gt, "left")
             gt_t = gt_t - ev_l.t_offset  # same session origin as events
         return ev_l, ev_r, gt_t, gt_T
     if args.dsec:
-        from esvo_tpu.io.datasets import load_dsec_events
-        ev_l = load_dsec_events(args.dsec[0], args.max_events)
-        ev_r = load_dsec_events(args.dsec[1], args.max_events)
+        from esvo_tpu.io.datasets import load_dsec_stereo
+        ev_l, ev_r = load_dsec_stereo(args.dsec[0], args.dsec[1],
+                                      args.max_events)
         return ev_l, ev_r, None, None
     raise SystemExit("no dataset source given (--dataset/--mvsec/--dsec)")
 
 
 def interpolate_gt(gt_times, gt_poses, t):
-    """Linear interpolation of GT pose at time t (translation lerp +
-    nearest rotation — adequate at 100 Hz tick spacing)."""
-    i = np.searchsorted(gt_times, t)
-    i = np.clip(i, 1, len(gt_times) - 1)
-    t0, t1 = gt_times[i - 1], gt_times[i]
-    a = 0.0 if t1 <= t0 else np.clip((t - t0) / (t1 - t0), 0.0, 1.0)
-    T = gt_poses[i] if a > 0.5 else gt_poses[i - 1]
-    T = T.copy()
-    T[:3, 3] = (1 - a) * gt_poses[i - 1][:3, 3] + a * gt_poses[i][:3, 3]
-    return T
+    """GT pose at time t (shared interpolator: translation lerp +
+    SO(3)-projected rotation lerp)."""
+    from esvo_tpu.eval.trajectory import interpolate_pose
+    return interpolate_pose(np.asarray(gt_times), np.asarray(gt_poses), t)
 
 
 def main(argv=None):

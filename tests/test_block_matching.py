@@ -47,6 +47,30 @@ def test_recovers_constant_disparity():
                                   np.floor(x[v][:, 0]) - disp)
 
 
+def test_boundary_minimum_accepted_at_step_1():
+    """With step=1 the reference's fine pass accepts on threshold alone
+    (EventBM.cpp:222-227 — the neighbour-validity test only guards the
+    coarse pass), so a minimum at the disparity-range boundary must
+    match; with step>1 the coarse-pass test rejects it."""
+    rng = np.random.default_rng(4)
+    disp = 1
+    ts_l, ts_r = shifted_pair(rng, disp)
+    r = rig()
+    N = 200
+    x = np.stack([rng.uniform(60, W - 20, N), rng.uniform(10, H - 10, N)],
+                 axis=1)
+    args = (jnp.asarray(ts_l), jnp.asarray(ts_r), jnp.asarray(x),
+            jnp.asarray(x), jnp.zeros(N), jnp.ones(N, bool), r.left.mask, r)
+    # true disparity == min_disparity: boundary minimum
+    fine = bm.match_events(*args, bm.BlockMatchConfig(min_disparity=1))
+    v = np.asarray(fine.valid)
+    assert v.mean() > 0.9
+    np.testing.assert_array_equal(np.asarray(fine.disparity)[v], disp)
+    coarse = bm.match_events(*args, bm.BlockMatchConfig(min_disparity=1,
+                                                        step=2))
+    assert np.asarray(coarse.valid).mean() < 0.1
+
+
 def test_zncc_cost_matches_reference_formula():
     """Cost at the winning disparity equals 0.5*(1 - ncc) of the
     mean/sigma-normalized integer-aligned patches

@@ -144,6 +144,19 @@ def test_native_loader_no_trailing_newline(tmp_path):
     np.testing.assert_array_equal(ev.p, [True, False, True])
 
 
+def test_native_loader_truncated_last_line(tmp_path):
+    """A last line truncated mid-write (fewer than 4 fields) must be
+    dropped, not fabricated with zeroed fields."""
+    from esvo_tpu.io.native import load_events_native
+    _native_lib_or_skip()
+    path = str(tmp_path / "events.txt")
+    with open(path, "w") as f:
+        f.write("0.100 1 2 1\n0.300 5")  # truncated: t and x only
+    ev = load_events_native(path)
+    assert len(ev) == 1
+    np.testing.assert_allclose(ev.t, [0.1], atol=1e-9)
+
+
 def test_visualization_maps():
     from esvo_tpu.utils.visualization import (plot_inv_depth_map,
                                               plot_event_map, jet_colormap)
