@@ -145,44 +145,48 @@ def residuals(d, coord, T_left_virtual, ts_left, ts_right,
     (esvo_core/src/core/DepthProblem.cpp:34-191).
     """
     wx, wy = cfg.patch_size_x, cfg.patch_size_y
-    P = wx * wy
     dtype = ts_left.dtype
 
     # warping: back-project at depth 1/d in the virtual view (left camera
     # intrinsics), move into the left camera frame at TS time, project into
     # both rectified cameras (DepthProblem.cpp:162-191).
-    p_rv = cam_to_world(P_left, coord, d)
-    p_left = T_left_virtual[:3, :3] @ p_rv + T_left_virtual[:3, 3]
-    x1h = P_left[:, :3] @ p_left + P_left[:, 3]
-    x2h = P_right[:, :3] @ p_left + P_right[:, 3]
-    x1 = x1h[:2] / x1h[2]
-    x2 = x2h[:2] / x2h[2]
-
-    bx = (wx - 1) // 2
-    by = (wy - 1) // 2
-    ok_warp = ((x1[0] >= bx) & (x1[0] <= width - bx)
-               & (x1[1] >= by) & (x1[1] <= height - by)
-               & (x2[0] >= bx) & (x2[0] <= width - bx)
-               & (x2[1] >= by) & (x2[1] <= height - by))
+    x1, x2 = _warp_positions(d, coord, T_left_virtual, P_left, P_right)
+    ok_warp = _warp_in_bounds(x1, x2, width, height, cfg)
 
     tau1, ok1 = patch_interpolate(ts_left, x1, wy, wx)
     tau2, ok2 = patch_interpolate(ts_right, x2, wy, wx)
     ok = ok_warp & ok1 & ok2
+    return _apply_norm(tau1, tau2, ok, cfg, dtype), ok
 
+
+def _warp_in_bounds(x1, x2, width, height, cfg):
+    """Both warped centres leave room for the patch (DepthProblem.cpp
+    boundary guards)."""
+    bx = (cfg.patch_size_x - 1) // 2
+    by = (cfg.patch_size_y - 1) // 2
+    return ((x1[0] >= bx) & (x1[0] <= width - bx)
+            & (x1[1] >= by) & (x1[1] <= height - by)
+            & (x2[0] >= bx) & (x2[0] <= width - bx)
+            & (x2[1] >= by) & (x2[1] <= height - by))
+
+
+def _apply_norm(tau1, tau2, ok, cfg: DepthProblemConfig, dtype):
+    """fvec from the two sampled patches under cfg.ls_norm — the single
+    site for the l2/zncc/Tdist weighting incl. the out-of-bounds
+    sentinel residual 255 (DepthProblem.cpp:44-59,126-158)."""
+    P = cfg.patch_area
     r_raw = (tau1 - tau2).reshape(P)
-    # out-of-bounds sentinel residual 255 (DepthProblem.cpp:44-59,141-158)
     r = jnp.where(ok, r_raw, jnp.asarray(255.0, dtype))
-
     if cfg.ls_norm == "l2":
-        fvec = r
-    elif cfg.ls_norm == "zncc":
+        return r
+    if cfg.ls_norm == "zncc":
         mu1 = jnp.mean(tau1)
         mu2 = jnp.mean(tau2)
         s1 = jnp.sqrt(jnp.mean((tau1 - mu1) ** 2)) + 1e-6
         s2 = jnp.sqrt(jnp.mean((tau2 - mu2) ** 2)) + 1e-6
         z = ((tau1 - mu1) / s1 - (tau2 - mu2) / s2).reshape(P) / math.sqrt(P)
-        fvec = jnp.where(ok, z, jnp.asarray(2.0 / math.sqrt(P), dtype))
-    elif cfg.ls_norm == "Tdist":
+        return jnp.where(ok, z, jnp.asarray(2.0 / math.sqrt(P), dtype))
+    if cfg.ls_norm == "Tdist":
         nu = cfg.td_nu
         # valid branch: IRLS weights from the re-estimated scale
         w_valid = _tdist_weights(r_raw, r_raw * r_raw, nu,
@@ -191,10 +195,8 @@ def residuals(d, coord, T_left_virtual, ts_left, ts_right,
         # invalid branch: fixed weight of a 255 residual at the base scale
         w_oob = (nu + 1.0) / (nu + (255.0 / cfg.td_scale) ** 2)
         w = jnp.where(ok, w_valid, jnp.asarray(w_oob, dtype))
-        fvec = jnp.sqrt(w) * r
-    else:
-        raise ValueError(f"unsupported LSnorm: {cfg.ls_norm}")
-    return fvec, ok
+        return jnp.sqrt(w) * r
+    raise ValueError(f"unsupported LSnorm: {cfg.ls_norm}")
 
 
 def _warp_positions(d, coord, T_left_virtual, P_left, P_right):
@@ -258,44 +260,15 @@ def residuals_windowed(d, coord, T_left_virtual, win1, win2, org1, org2,
     events that the subsequent culling drops either way.
     """
     wx, wy = cfg.patch_size_x, cfg.patch_size_y
-    P = wx * wy
     Wy, Wx = win1.shape
     dtype = win1.dtype
 
     x1, x2 = _warp_positions(d, coord, T_left_virtual, P_left, P_right)
-    bx = (wx - 1) // 2
-    by = (wy - 1) // 2
-    ok_warp = ((x1[0] >= bx) & (x1[0] <= width - bx)
-               & (x1[1] >= by) & (x1[1] <= height - by)
-               & (x2[0] >= bx) & (x2[0] <= width - bx)
-               & (x2[1] >= by) & (x2[1] <= height - by))
+    ok_warp = _warp_in_bounds(x1, x2, width, height, cfg)
     tau1, ok1 = _window_patch(win1, org1[0], org1[1], x1, wy, wx, Wy, Wx)
     tau2, ok2 = _window_patch(win2, org2[0], org2[1], x2, wy, wx, Wy, Wx)
     ok = ok_warp & ok1 & ok2
-
-    r_raw = (tau1 - tau2).reshape(P)
-    r = jnp.where(ok, r_raw, jnp.asarray(255.0, dtype))
-    if cfg.ls_norm == "l2":
-        fvec = r
-    elif cfg.ls_norm == "zncc":
-        mu1 = jnp.mean(tau1)
-        mu2 = jnp.mean(tau2)
-        s1 = jnp.sqrt(jnp.mean((tau1 - mu1) ** 2)) + 1e-6
-        s2 = jnp.sqrt(jnp.mean((tau2 - mu2) ** 2)) + 1e-6
-        z = ((tau1 - mu1) / s1 - (tau2 - mu2) / s2).reshape(P) \
-            / math.sqrt(P)
-        fvec = jnp.where(ok, z, jnp.asarray(2.0 / math.sqrt(P), dtype))
-    elif cfg.ls_norm == "Tdist":
-        nu = cfg.td_nu
-        w_valid = _tdist_weights(r_raw, r_raw * r_raw, nu,
-                                 cfg.td_scale_squared,
-                                 cfg.td_fixed_point_iters)
-        w_oob = (nu + 1.0) / (nu + (255.0 / cfg.td_scale) ** 2)
-        w = jnp.where(ok, w_valid, jnp.asarray(w_oob, dtype))
-        fvec = jnp.sqrt(w) * r
-    else:
-        raise ValueError(f"unsupported LSnorm: {cfg.ls_norm}")
-    return fvec, ok
+    return _apply_norm(tau1, tau2, ok, cfg, dtype), ok
 
 
 def solve(matches_x: jax.Array, T_world_virtual: jax.Array,
@@ -321,12 +294,15 @@ def solve(matches_x: jax.Array, T_world_virtual: jax.Array,
     m = cfg.patch_area
     dtype = ts_left.dtype
 
-    if cfg.window_margin >= 0:
+    wy, wx = cfg.patch_size_y, cfg.patch_size_x
+    mg = cfg.window_margin
+    Wy, Wx = wy + 1 + 2 * mg, wx + 1 + 2 * mg
+    # the windowed fast path needs the window to fit inside the image:
+    # on smaller images origin() clipping would silently sample
+    # border-replicated rows, so fall back to full-image sampling
+    if cfg.window_margin >= 0 and H >= Wy and W >= Wx:
         # pre-gather one window per surface per event around the initial
         # warp positions; LM iterations then never touch HBM
-        wy, wx = cfg.patch_size_y, cfg.patch_size_x
-        mg = cfg.window_margin
-        Wy, Wx = wy + 1 + 2 * mg, wx + 1 + 2 * mg
         x1_0, x2_0 = jax.vmap(_warp_positions,
                               in_axes=(0, 0, 0, None, None))(
             jnp.asarray(d_init, dtype), matches_x, T_left_virtual,
@@ -335,8 +311,8 @@ def solve(matches_x: jax.Array, T_world_virtual: jax.Array,
         def origin(x):
             oy = jnp.floor(x[:, 1]).astype(jnp.int32) - (wy - 1) // 2 - mg
             ox = jnp.floor(x[:, 0]).astype(jnp.int32) - (wx - 1) // 2 - mg
-            oy = jnp.clip(oy, 0, max(H - Wy, 0))
-            ox = jnp.clip(ox, 0, max(W - Wx, 0))
+            oy = jnp.clip(oy, 0, H - Wy)
+            ox = jnp.clip(ox, 0, W - Wx)
             return jnp.stack([oy, ox], axis=1)
 
         org1 = origin(x1_0)
@@ -355,10 +331,7 @@ def solve(matches_x: jax.Array, T_world_virtual: jax.Array,
             return f, jf, ok
 
         _fj = jax.vmap(fj_one, in_axes=(0, 0, 0, 0, 0, 0, 0))
-        _f = jax.vmap(lambda *a: fvec_one(*a)[0],
-                      in_axes=(0, 0, 0, 0, 0, 0, 0))
         batch_fj = lambda d, xc, T: _fj(d, xc, T, win1, win2, org1, org2)
-        batch_f = lambda d, xc, T: _f(d, xc, T, win1, win2, org1, org2)
     else:
         def fvec_of(d, coord, T_lv):
             f, ok = residuals(d, coord, T_lv, ts_left, ts_right, P_left,
@@ -371,8 +344,6 @@ def solve(matches_x: jax.Array, T_world_virtual: jax.Array,
             return f, jf, ok
 
         batch_fj = jax.vmap(fvec_and_jac, in_axes=(0, 0, 0))
-        batch_f = jax.vmap(lambda d, c, T: fvec_of(d, c, T)[0],
-                           in_axes=(0, 0, 0))
 
     d = jnp.asarray(d_init, dtype)
     lam = jnp.full(d.shape, 1e-3, dtype)

@@ -33,6 +33,8 @@ from esvo_tpu.geometry.camera import Camera, cam_to_world, world_to_cam, inv3
 from esvo_tpu.mapping.depth_refinement import DepthEstimates
 
 EMPTY = -1.0
+# occupancy threshold shared by DepthGrid.occupied and the fuse fold
+_OCC_EPS = -1e-6
 
 
 @struct.dataclass
@@ -60,7 +62,7 @@ class DepthGrid:
 
     @property
     def occupied(self) -> jax.Array:
-        return self.inv_depth > -1e-6
+        return self.inv_depth > _OCC_EPS
 
 
 def empty_grid(height: int, width: int, dtype=jnp.float32) -> DepthGrid:
@@ -139,14 +141,16 @@ def propagate_points(est: DepthEstimates, T_frame_world: jax.Array,
 
 def _splat(cand: Candidates, height: int, width: int,
            radius: int) -> tuple[Candidates, jax.Array]:
-    """Expand each candidate to its 4 or 9 target pixels
-    (DepthFusion.cpp:96-117). Returns (tiled candidates, pixel ids)."""
+    """Expand each candidate to its 4 (radius 0) or (2r+1)^2 target
+    pixels (DepthFusion.cpp:96-117). Returns (tiled candidates, pixel
+    ids)."""
     col = jnp.floor(cand.x[:, 0]).astype(jnp.int32)
     row = jnp.floor(cand.x[:, 1]).astype(jnp.int32)
     if radius == 0:
         offs = [(dy, dx) for dy in (0, 1) for dx in (0, 1)]
     else:
-        offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+        r = range(-radius, radius + 1)
+        offs = [(dy, dx) for dy in r for dx in r]
     K = len(offs)
     dy = jnp.asarray([o[0] for o in offs], jnp.int32)
     dx = jnp.asarray([o[1] for o in offs], jnp.int32)
@@ -186,14 +190,24 @@ def _segment_rank(sorted_ids: jax.Array) -> jax.Array:
 
 def _student_t_update(invD_a, scale2_a, nu_a, invD_b, scale2_b, nu_b):
     """Student-t posterior of (a <- b) (DepthPoint::update_studentT,
-    container/DepthPoint.cpp:167-188). Returns (invD, scale2, nu, var)."""
+    container/DepthPoint.cpp:167-188). Returns (invD, scale2, nu, var).
+
+    nu = inf marks Gaussian-statistics points (SGM bootstrap, naive
+    modes); the nu -> inf limit of the Tdist update is exactly the
+    Gaussian product scale2_a*scale2_b/s_sum, but evaluating the Tdist
+    formula at inf is inf/inf = NaN — select the limit explicitly."""
     nu_u = jnp.minimum(nu_a, nu_b)
     s_sum = scale2_a + scale2_b
     invD = (scale2_b * invD_a + scale2_a * invD_b) / s_sum
     d2 = (invD_a - invD_b) ** 2
-    scale2 = (nu_u + d2 / s_sum) / (nu_u + 1.0) * (scale2_a * scale2_b / s_sum)
-    nu = nu_u + 1.0
-    var = nu / (nu - 2.0) * scale2
+    gauss = scale2_a * scale2_b / s_sum
+    finite = jnp.isfinite(nu_u)
+    nu_safe = jnp.where(finite, nu_u, 3.0)
+    scale2 = jnp.where(
+        finite, (nu_safe + d2 / s_sum) / (nu_safe + 1.0) * gauss, gauss)
+    nu = jnp.where(finite, nu_u + 1.0, nu_u)
+    var = jnp.where(finite, nu / jnp.maximum(nu - 2.0, 1e-6) * scale2,
+                    scale2)
     return invD, scale2, nu, var
 
 
@@ -296,7 +310,7 @@ def fuse_frame(grid: DepthGrid, cand: Candidates, camera: Camera,
         c_p2 = buf[10][k]
         c_ok = buf[11][k] > 0.5
 
-        occ = g["invD"] > -1e-6
+        occ = g["invD"] > _OCC_EPS
         # --- case 1: empty cell -> insert at pixel centre
         # (DepthFusion.cpp:127-146)
         ins = c_ok & ~occ
@@ -454,7 +468,18 @@ def clean_grid(grid: DepthGrid, var_threshold: float, age_threshold: int,
           & (grid.variance <= var_threshold)
           & (grid.inv_depth <= inv_depth_max)
           & (grid.inv_depth >= inv_depth_min))
-    return grid.replace(inv_depth=jnp.where(ok, grid.inv_depth, EMPTY))
+    # reset x to the pixel centre as well: the reference's clean removes
+    # the DepthPoint entirely, so a later insert back-projects at the
+    # centre — keeping a replaced point's propagated sub-pixel x would
+    # poison the next occupant of the cell (incremental fuse users; the
+    # runtime itself always rebuilds from empty_grid)
+    H, W = grid.inv_depth.shape
+    dt = grid.x.dtype
+    gx, gy = jnp.meshgrid(jnp.arange(W, dtype=dt), jnp.arange(H, dtype=dt))
+    centers = jnp.stack([gx + 0.5, gy + 0.5], axis=-1)
+    return grid.replace(
+        inv_depth=jnp.where(ok, grid.inv_depth, EMPTY),
+        x=jnp.where(ok[..., None], grid.x, centers))
 
 
 def grid_points_world(grid: DepthGrid, T_world_frame: jax.Array):

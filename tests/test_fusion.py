@@ -130,6 +130,55 @@ def test_fuse_compatible_tdist_matches_pairwise():
     np.testing.assert_allclose(np.asarray(grid.nu)[10, 20], nu_post)
 
 
+def test_fuse_gaussian_points_under_tdist_no_nan():
+    """nu=inf marks Gaussian-statistics points (SGM bootstrap emits
+    duplicates per pixel); fusing two of them under the default Tdist
+    norm must produce the Gaussian-product posterior, not inf/inf=NaN
+    (which clean_grid would then silently drop)."""
+    cfg = fu.FusionConfig(ls_norm="Tdist")
+    grid = fu.empty_grid(H, W, jnp.float64)
+    for d in (0.5, 0.505):
+        est = make_estimates([[20.3, 10.7]], [d], [1e-4], nu=np.inf)
+        cand = fu.propagate_points(est, jnp.eye(4, dtype=jnp.float64),
+                                   rig().left, cfg)
+        grid, nfused, _ = fu.fuse_frame(grid, cand, rig().left, cfg)
+    assert int(nfused) == 4
+    g = np.asarray(grid.inv_depth)
+    assert np.isfinite(g[10, 20])
+    # Gaussian product: equal variances -> mean of the two estimates
+    np.testing.assert_allclose(g[10, 20], 0.5025, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(grid.variance)[10, 20], 5e-5,
+                               rtol=1e-9)
+    assert np.isinf(np.asarray(grid.nu)[10, 20])
+    # and the fused cell survives the validity clean
+    cleaned = fu.clean_grid(grid, var_threshold=1e-3, age_threshold=0,
+                            inv_depth_max=2.0, inv_depth_min=0.1)
+    assert bool(np.asarray(cleaned.occupied)[10, 20])
+
+
+def test_clean_grid_resets_subpixel_x():
+    """Emptied cells must forget their point's propagated sub-pixel
+    coordinate (the reference's clean removes the DepthPoint; a new
+    insert back-projects at the pixel centre)."""
+    grid = fu.empty_grid(H, W, jnp.float64)
+    # an occupied cell whose x was moved off-centre by the replace rule
+    grid = grid.replace(
+        inv_depth=grid.inv_depth.at[10, 20].set(0.5),
+        variance=grid.variance.at[10, 20].set(1e-4),
+        x=grid.x.at[10, 20].set(jnp.asarray([20.3, 10.7])))
+    cleaned = fu.clean_grid(grid, var_threshold=1e-9, age_threshold=5,
+                            inv_depth_max=2.0, inv_depth_min=0.1)
+    assert not np.asarray(cleaned.occupied)[10, 20]
+    np.testing.assert_allclose(np.asarray(cleaned.x)[10, 20], [20.5, 10.5])
+    # surviving cells keep their coordinate
+    grid2 = grid.replace(age=grid.age.at[10, 20].set(9),
+                         variance=grid.variance.at[10, 20].set(1e-10))
+    kept = fu.clean_grid(grid2, var_threshold=1e-9, age_threshold=5,
+                         inv_depth_max=2.0, inv_depth_min=0.1)
+    assert bool(np.asarray(kept.occupied)[10, 20])
+    np.testing.assert_allclose(np.asarray(kept.x)[10, 20], [20.3, 10.7])
+
+
 def test_fuse_occlusion_keeps_closer_point():
     cfg = fu.FusionConfig(ls_norm="l2")
     grid = fu.empty_grid(H, W, jnp.float64)
