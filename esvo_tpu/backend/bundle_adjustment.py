@@ -123,6 +123,46 @@ def reprojection_residuals(prob: BAProblem):
         jnp.where(mask[..., None], Jp, 0.0), ok
 
 
+def assemble_normal_equations(prob: BAProblem, cfg: BAConfig,
+                              axis_name=None):
+    """Weighted GN normal-equation blocks via segment sums.
+
+    Returns (B (K,6,6), C (P,3,3), gc (K,6), gp (P,3), E_obs (M,6,3),
+    cost): fully observation-indexed — the dense per-(point, keyframe)
+    cross tensor (P, K, 6, 3) is never materialized (E_obs stays on the
+    observation axis; downstream Schur columns reduce it with further
+    segment sums, see _gn_step). With `axis_name` the observation axis
+    is sharded and every reduction psums over the mesh. Single site for
+    the Huber weighting shared by the solver and the raw-block export
+    (parallel.sharding.sharded_ba_normal_equations)."""
+    K = prob.T_world_kf.shape[0]
+    P = prob.points.shape[0]
+    psum = ((lambda x: jax.lax.psum(x, axis_name)) if axis_name
+            else (lambda x: x))
+    r, Jc, Jp, ok = reprojection_residuals(prob)
+
+    # Huber IRLS weights on the residual norm
+    rn = jnp.linalg.norm(r, axis=1)
+    w = jnp.where(rn > cfg.huber_threshold,
+                  cfg.huber_threshold / jnp.maximum(rn, 1e-12), 1.0)
+    w = jnp.where(ok, w, 0.0)
+    cost = psum(jnp.sum(w * rn * rn))
+
+    wJc = Jc * w[:, None, None]
+    wJp = Jp * w[:, None, None]
+
+    B = psum(jnp.zeros((K, 6, 6)).at[prob.obs_kf].add(
+        jnp.einsum("nij,nik->njk", wJc, Jc)))            # (K, 6, 6)
+    C = psum(jnp.zeros((P, 3, 3)).at[prob.obs_point].add(
+        jnp.einsum("nij,nik->njk", wJp, Jp)))            # (P, 3, 3)
+    gc = psum(jnp.zeros((K, 6)).at[prob.obs_kf].add(
+        jnp.einsum("nij,ni->nj", wJc, r)))
+    gp = psum(jnp.zeros((P, 3)).at[prob.obs_point].add(
+        jnp.einsum("nij,ni->nj", wJp, r)))
+    E_obs = jnp.einsum("nij,nik->njk", wJc, Jp)          # (M, 6, 3)
+    return B, C, gc, gp, E_obs, cost
+
+
 def _gn_step(prob: BAProblem, cfg: BAConfig, lam, axis_name=None):
     """One damped Schur-complement GN step. Returns (dx_poses (K,6),
     dpoints (P,3), cost).
@@ -141,35 +181,15 @@ def _gn_step(prob: BAProblem, cfg: BAConfig, lam, axis_name=None):
     P = prob.points.shape[0]
     psum = ((lambda x: jax.lax.psum(x, axis_name)) if axis_name
             else (lambda x: x))
-    r, Jc, Jp, ok = reprojection_residuals(prob)
-
-    # Huber IRLS weights on the residual norm
-    rn = jnp.linalg.norm(r, axis=1)
-    w = jnp.where(rn > cfg.huber_threshold,
-                  cfg.huber_threshold / jnp.maximum(rn, 1e-12), 1.0)
-    w = jnp.where(ok, w, 0.0)
-    cost = psum(jnp.sum(w * rn * rn))
-
-    wJc = Jc * w[:, None, None]
-    wJp = Jp * w[:, None, None]
-
-    # normal-equation blocks via segment sums
-    B = psum(jnp.zeros((K, 6, 6)).at[prob.obs_kf].add(
-        jnp.einsum("nij,nik->njk", wJc, Jc)))            # (K, 6, 6)
-    C = psum(jnp.zeros((P, 3, 3)).at[prob.obs_point].add(
-        jnp.einsum("nij,nik->njk", wJp, Jp)))            # (P, 3, 3)
-    gc = psum(jnp.zeros((K, 6)).at[prob.obs_kf].add(
-        jnp.einsum("nij,ni->nj", wJc, r)))
-    gp = psum(jnp.zeros((P, 3)).at[prob.obs_point].add(
-        jnp.einsum("nij,ni->nj", wJp, r)))
+    B, C, gc, gp, E_obs, cost = assemble_normal_equations(
+        prob, cfg, axis_name)
 
     # LM damping on the diagonals
     B = B + lam * jnp.eye(6)[None] * B + 1e-8 * jnp.eye(6)
     C = C + lam * jnp.eye(3)[None] * C + 1e-8 * jnp.eye(3)
     Cinv = _inv3_batched(C)                              # (P, 3, 3)
 
-    # E_obs_n = Jc_n^T W_n Jp_n; F_n = E_obs_n C_{p(n)}^-1
-    E_obs = jnp.einsum("nij,nik->njk", wJc, Jp)          # (M, 6, 3)
+    # F_n = E_obs_n C_{p(n)}^-1
     F = jnp.einsum("nab,nbc->nac", E_obs, Cinv[prob.obs_point])  # (M, 6, 3)
 
     # Schur cross-term, one keyframe column at a time:

@@ -93,8 +93,9 @@ def sharded_map_estimate(mesh: Mesh, rig: StereoRig,
         body, mesh=mesh,
         in_specs=(P(), P(), P(EVENT_AXIS), P(EVENT_AXIS), P(EVENT_AXIS),
                   P(EVENT_AXIS), P(EVENT_AXIS)),
-        out_specs=jax.tree.map(lambda _: P(EVENT_AXIS),
-                               dr.DepthEstimates(*([0] * 10))),
+        # prefix spec: every DepthEstimates leaf is sharded on its
+        # leading (event) axis
+        out_specs=P(EVENT_AXIS),
         check_vma=False)
     return fn
 
@@ -113,7 +114,12 @@ def sharded_tracking_step(mesh: Mesh, camera: Camera,
         zero = jnp.zeros(6, dtype=R.dtype)
         fvec, _, _ = reg.residuals_and_weights(prob, zero, pts, ok, camera,
                                                cfg)
-        J = reg.analytic_jacobian(prob, pts, ok, camera, cfg)
+        # same dispatch as the serial solver (registration.solve):
+        # numerical path for RegProblemType 0 or patch sizes > 1
+        if cfg.use_numerical_diff or cfg.patch_size_x * cfg.patch_size_y > 1:
+            J = reg.numerical_jacobian(prob, pts, ok, camera, cfg)
+        else:
+            J = reg.analytic_jacobian(prob, pts, ok, camera, cfg)
         f = fvec.reshape(-1)
         H = jax.lax.psum(J.T @ J, EVENT_AXIS)
         g = jax.lax.psum(J.T @ f, EVENT_AXIS)
@@ -121,6 +127,10 @@ def sharded_tracking_step(mesh: Mesh, camera: Camera,
         damp = cfg.lm_damping * jnp.diag(jnp.diag(H)) \
             + 1e-12 * jnp.eye(6, dtype=R.dtype)
         dx = -solve_spd(H + damp, g)
+        # a singular/indefinite H NaNs the unrolled Cholesky; reject the
+        # step like the serial solver (registration.solve) instead of
+        # handing callers a NaN pose update
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         return dx, cost
 
     fn = shard_map(
@@ -165,12 +175,15 @@ def sharded_bundle_adjust(mesh: Mesh, cfg: ba.BAConfig):
 
 
 def sharded_ba_normal_equations(mesh: Mesh, cfg: ba.BAConfig):
-    """Returns fn(problem-with-sharded-observations) -> (B, C, gc, gp,
-    E_pt): the BA normal-equation blocks assembled per observation shard
-    and psum-reduced over the mesh. The (small) reduced camera solve runs
-    replicated afterwards — this is exactly the Schur-complement
-    reduction pattern from the north star, with observations as the
-    sharded axis and ICI all-reduce as the only communication.
+    """Returns fn(problem-with-sharded-observations) -> (B, C, gc, gp):
+    the BA normal-equation blocks assembled per observation shard and
+    psum-reduced over the mesh (ba.assemble_normal_equations — the same
+    assembly _gn_step uses; the dense (P, K, 6, 3) cross tensor is
+    never materialized, Schur columns reduce observation-indexed). The
+    (small) reduced camera solve runs replicated afterwards — the
+    Schur-complement reduction pattern from the north star, with
+    observations as the sharded axis and ICI all-reduce as the only
+    communication.
     """
 
     def body(T_kf, points, obs_kf, obs_point, obs_uv, obs_valid,
@@ -179,30 +192,12 @@ def sharded_ba_normal_equations(mesh: Mesh, cfg: ba.BAConfig):
                             obs_point=obs_point, obs_uv=obs_uv,
                             obs_valid=obs_valid, fx=fx, fy=fy, cx=cx,
                             cy=cy)
-        r, Jc, Jp, ok = ba.reprojection_residuals(prob)
-        rn = jnp.linalg.norm(r, axis=1)
-        w = jnp.where(rn > cfg.huber_threshold,
-                      cfg.huber_threshold / jnp.maximum(rn, 1e-12), 1.0)
-        w = jnp.where(ok, w, 0.0)
-        K = T_kf.shape[0]
-        Pn = points.shape[0]
-        wJc = Jc * w[:, None, None]
-        wJp = Jp * w[:, None, None]
-        B = jnp.zeros((K, 6, 6)).at[obs_kf].add(
-            jnp.einsum("nij,nik->njk", wJc, Jc))
-        C = jnp.zeros((Pn, 3, 3)).at[obs_point].add(
-            jnp.einsum("nij,nik->njk", wJp, Jp))
-        gc = jnp.zeros((K, 6)).at[obs_kf].add(
-            jnp.einsum("nij,ni->nj", wJc, r))
-        gp = jnp.zeros((Pn, 3)).at[obs_point].add(
-            jnp.einsum("nij,ni->nj", wJp, r))
-        E_obs = jnp.einsum("nij,nik->njk", wJc, Jp)
-        E_pt = jnp.zeros((Pn, K, 6, 3)).at[obs_point, obs_kf].add(E_obs)
-        out = (B, C, gc, gp, E_pt)
-        return tuple(jax.lax.psum(o, EVENT_AXIS) for o in out)
+        B, C, gc, gp, _, _ = ba.assemble_normal_equations(
+            prob, cfg, axis_name=EVENT_AXIS)
+        return B, C, gc, gp
 
     return shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(EVENT_AXIS), P(EVENT_AXIS), P(EVENT_AXIS),
                   P(EVENT_AXIS), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P(), P()), check_vma=False)
+        out_specs=(P(), P(), P(), P()), check_vma=False)

@@ -225,9 +225,6 @@ class EsvoSystem:
                             a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)), ev)
                 return sharded_surface_update(mesh, st, ev)
 
-            _est_specs = jax.tree.map(lambda _: PS(EVENT_AXIS),
-                                      dr.DepthEstimates(*([0] * 10)))
-
             def solve_fn(mx, T_wv, T_lv, d0, v, tt, tsl, tsr):
                 """Depth-LM with the event axis sharded — the striped
                 DepthProblemSolver pool (DepthProblemSolver.cpp:28-90)."""
@@ -235,7 +232,8 @@ class EsvoSystem:
                 return shard_map(
                     body, mesh=mesh,
                     in_specs=(PS(EVENT_AXIS),) * 6 + (PS(), PS()),
-                    out_specs=_est_specs, check_vma=False)(
+                    # prefix spec: every estimate leaf sharded on events
+                    out_specs=PS(EVENT_AXIS), check_vma=False)(
                         mx, T_wv, T_lv, d0, v, tt, tsl, tsr)
         else:
             insert_fn = tsf.insert_events

@@ -174,6 +174,24 @@ def median_blur_3x3(img: jax.Array) -> jax.Array:
     return v[4]
 
 
+def median_blur(img: jax.Array, k: int) -> jax.Array:
+    """(2k+1)x(2k+1) median filter — the reference maps its parameter k
+    to cv::medianBlur(ksize = 2k+1) (TimeSurface.cpp:130-131). k=1 uses
+    the exchange network; larger (rare, non-default) sizes fall back to
+    jnp.median over the stacked taps (a generic XLA sort — correct but
+    several ms at 640x480)."""
+    if k <= 0:
+        return img
+    if k == 1:
+        return median_blur_3x3(img)
+    ks = 2 * k + 1
+    padded = jnp.pad(img, k, mode="edge")
+    H, W = img.shape
+    taps = jnp.stack([padded[dy:dy + H, dx:dx + W]
+                      for dy in range(ks) for dx in range(ks)])
+    return jnp.median(taps, axis=0)
+
+
 # OpenCV getGaussianKernel uses fixed binomial kernels for ksize <= 7 when
 # sigma <= 0 — the reference always calls GaussianBlur with sigma 0
 # (TimeSurfaceObservation.h:107-116,118-134).
@@ -241,7 +259,7 @@ def render_backward(state: TimeSurfaceState, t_sync, camera: Camera,
     val, _ = _decayed(state, t_sync, cfg.decay_sec, cfg.ignore_polarity)
     img = _to_8bit_levels(val, cfg.ignore_polarity)
     if cfg.median_blur_kernel_size > 0:
-        img = median_blur_3x3(img)
+        img = median_blur(img, cfg.median_blur_kernel_size)
     return remap_bilinear(img, camera.inv_map, fill=0.0)
 
 
@@ -283,7 +301,7 @@ def render_forward(state: TimeSurfaceState, t_sync, camera: Camera,
     acc = jnp.clip(acc.reshape(H, W), None, 1.0)
     img = _to_8bit_levels(acc, cfg.ignore_polarity)
     if cfg.median_blur_kernel_size > 0:
-        img = median_blur_3x3(img)
+        img = median_blur(img, cfg.median_blur_kernel_size)
     return img
 
 

@@ -134,14 +134,12 @@ def _project_and_check(p_left: jax.Array, camera: Camera,
     ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 1)
     vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 1)
     m = camera.mask
-    for dy in (-hy, hy):
-        for dx in (-hx, hx):
+    # sorted sets deduplicate the corner offsets when hx or hy is 0
+    # (1xN / Nx1 patches) — this runs inside the LM scan hot path
+    for dy in sorted({-hy, hy}):
+        for dx in sorted({-hx, hx}):
             ok = ok & gather2d(m, jnp.clip(vi + dy, 0, H - 1),
                                jnp.clip(ui + dx, 0, W - 1))
-            if hx == 0 and hy == 0:
-                break
-        if hx == 0 and hy == 0:
-            break
     return x1, ok
 
 
@@ -267,7 +265,12 @@ def solve(prob: RegProblem, camera: Camera, cfg: RegProblemConfig):
     """MAX_ITERATION one-step LM rounds over rotating point batches
     (solve_analytical, RegProblemSolverLM.cpp:148-217).
 
-    Returns (problem with updated R/t, T_world_cur, mean |r| diagnostics).
+    Returns (problem with updated R/t, T_world_cur, rms (max_iteration,)):
+    rms[i] is the post-update root-mean-square raw residual of round i's
+    batch over VALID reprojections only (the 255 sentinel residuals of
+    invalid/out-of-view points drive the LM cost, reference parity, but
+    would swamp the diagnostic — LM_statics logs per-point residuals the
+    same way, RegProblemSolverLM.h:26-31).
     """
     M = prob.points.shape[0]
     B = min(cfg.batch_size, M)
@@ -277,9 +280,12 @@ def solve(prob: RegProblem, camera: Camera, cfg: RegProblemConfig):
     def batch_cost(R, t, pts, val):
         p = prob.replace(R=R, t=t)
         zero = jnp.zeros(6, dtype=dtype)
-        fvec, _, _ = residuals_and_weights(p, zero, pts, val, camera, cfg)
+        fvec, r, ok = residuals_and_weights(p, zero, pts, val, camera, cfg)
         f = fvec.reshape(-1)
-        return f, jnp.sum(f * f)
+        n_res = jnp.maximum(jnp.sum(ok) * r.shape[1], 1)
+        rms_valid = jnp.sqrt(
+            jnp.sum(jnp.where(ok[:, None], r * r, 0.0)) / n_res)
+        return f, jnp.sum(f * f), rms_valid
 
     def step(carry, it):
         R, t, lam = carry
@@ -288,7 +294,7 @@ def solve(prob: RegProblem, camera: Camera, cfg: RegProblemConfig):
         val = jax.lax.dynamic_slice_in_dim(prob.point_valid, offset, B,
                                            axis=0)
         p = prob.replace(R=R, t=t)
-        f, cost = batch_cost(R, t, pts, val)
+        f, cost, rms_cur = batch_cost(R, t, pts, val)
         if cfg.use_numerical_diff or cfg.patch_size_x * cfg.patch_size_y > 1:
             J = numerical_jacobian(p, pts, val, camera, cfg)
         else:
@@ -300,7 +306,7 @@ def solve(prob: RegProblem, camera: Camera, cfg: RegProblemConfig):
         dx = -solve_spd(H + damp, g)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         R_try, t_try = add_motion_update(R, t, dx)
-        _, cost_try = batch_cost(R_try, t_try, pts, val)
+        _, cost_try, rms_try = batch_cost(R_try, t_try, pts, val)
         # Eigen LM's trust-region accept/reject
         # (RegProblemSolverLM.cpp:158-177 runs minimizeOneStep per batch)
         accept = cost_try < cost
@@ -308,7 +314,7 @@ def solve(prob: RegProblem, camera: Camera, cfg: RegProblemConfig):
         t_new = jnp.where(accept, t_try, t)
         lam_new = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0),
                            1e-9, 1e6)
-        return (R_new, t_new, lam_new), jnp.sqrt(cost / f.shape[0])
+        return (R_new, t_new, lam_new), jnp.where(accept, rms_try, rms_cur)
 
     lam0 = jnp.asarray(cfg.lm_damping, dtype)
     (R, t, _), rms = jax.lax.scan(step, (prob.R, prob.t, lam0),

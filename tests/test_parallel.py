@@ -136,9 +136,9 @@ def test_sharded_ba_normal_equations_match_serial(mesh):
 
     cfg = ba.BAConfig()
     fn = ps.sharded_ba_normal_equations(mesh, cfg)
-    B, C, gc, gp, E_pt = fn(prob.T_world_kf, prob.points, prob.obs_kf,
-                            prob.obs_point, prob.obs_uv, prob.obs_valid,
-                            prob.fx, prob.fy, prob.cx, prob.cy)
+    B, C, gc, gp = fn(prob.T_world_kf, prob.points, prob.obs_kf,
+                      prob.obs_point, prob.obs_uv, prob.obs_valid,
+                      prob.fx, prob.fy, prob.cx, prob.cy)
 
     # serial reference blocks
     r, Jc, Jp, ok = ba.reprojection_residuals(prob)
