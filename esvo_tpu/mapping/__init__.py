@@ -32,6 +32,7 @@ from esvo_tpu.mapping.initialization import (
 from esvo_tpu.mapping.event_matcher import (
     EventMatcherConfig,
     match_events_temporal,
+    match_events_temporal_stats,
 )
 
 __all__ = [
@@ -44,4 +45,5 @@ __all__ = [
     "SGMConfig", "semi_global_matching", "sgm_depth_points",
     "event_edge_mask", "denoising_mask", "select_denoised",
     "EventMatcherConfig", "match_events_temporal",
+    "match_events_temporal_stats",
 ]

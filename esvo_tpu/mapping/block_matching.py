@@ -34,7 +34,7 @@ from flax import struct
 
 from esvo_tpu.geometry.camera import StereoRig
 from esvo_tpu.surface.time_surface import gaussian_blur
-from esvo_tpu.ops.interp import gather2d, slice_patches
+from esvo_tpu.ops.interp import gather2d
 
 
 @struct.dataclass
@@ -84,16 +84,6 @@ def derive_disparity_bounds(rig: StereoRig, inv_depth_min: float,
     lo = max(lo, cfg.min_disparity)
     hi = min(hi, cfg.max_disparity)
     return lo, hi
-
-
-def _normalize(patch: jax.Array, axis) -> jax.Array:
-    """Mean/sigma patch normalization with the reference's +1e-6 sigma
-    epsilon (tools/utils.h:74-92)."""
-    mean = jnp.mean(patch, axis=axis, keepdims=True)
-    centered = patch - mean
-    sigma = jnp.sqrt(jnp.mean(centered * centered, axis=axis,
-                              keepdims=True)) + 1e-6
-    return centered / sigma
 
 
 def match_events(ts_left: jax.Array, ts_right: jax.Array,
@@ -202,10 +192,14 @@ def _match_horizontal(ts_left, ts_right, x_rect, t, valid, mask, rig, cfg,
     dark_l = box((ts_left < 1.0).astype(dtype))
 
     # lax.scan over disparities: an unrolled python loop keeps every
-    # plane's box-filter intermediates live (OOM at DSEC scale, D=151)
+    # plane's box-filter intermediates live (OOM at DSEC scale, D=151).
+    # The N per-event costs gather INSIDE the scan body, so the full
+    # (H, W, D) cube (185 MB at DSEC scale) is never materialized and no
+    # relayout/transpose is needed — only the (D, N) event costs leave.
     pad_r = jnp.pad(ts_right, ((0, 0), (dmax, 0)))
     pad_Sr = jnp.pad(S_r, ((0, 0), (dmax, 0)))
     pad_Sr2 = jnp.pad(S_r2, ((0, 0), (dmax, 0)))
+    flat = (vi * W + ui)
 
     def plane(_, d):
         zero = jnp.zeros((), d.dtype)
@@ -216,15 +210,12 @@ def _match_horizontal(ts_left, ts_right, x_rect, t, valid, mask, rig, cfg,
                                        0.0)) + 1e-6
         S_lr = box(ts_left * sl(pad_r))
         ncc = (S_lr / P_area - m_l * m_r) / (sigma_l * sigma_r)
-        return None, 0.5 * (1.0 - ncc)
+        cost = 0.5 * (1.0 - ncc)
+        return None, jnp.take(cost.reshape(-1), flat)  # (N,)
 
-    _, cost_cube = jax.lax.scan(
+    _, cost_dn = jax.lax.scan(
         plane, None, jnp.arange(dmin, dmax + 1, dtype=jnp.int32))
-    cost_cube = jnp.moveaxis(cost_cube, 0, -1)        # (H, W, D)
-
-    # per-event gathers (flat 1D)
-    flat = (vi * W + ui)
-    cost_vol = jnp.take(cost_cube.reshape(-1, D), flat, axis=0)  # (N, D)
+    cost_vol = cost_dn.T                              # (N, D)
     dark = jnp.take(dark_l.reshape(-1), flat)
     # low info-noise-ratio rejection (EventBM.cpp:104-109)
     noise_low = inb & (dark > 0.95 * P_area)

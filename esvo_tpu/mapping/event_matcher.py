@@ -36,21 +36,29 @@ class EventMatcherConfig:
     max_candidates: int = struct.field(pytree_node=False, default=32)
 
 
-def match_events_temporal(
+def match_events_temporal(*args, **kwargs) -> EventMatches:
+    """match_events_temporal_stats without the stats dict."""
+    return match_events_temporal_stats(*args, **kwargs)[0]
+
+
+def match_events_temporal_stats(
         ts_left: jax.Array, ts_right: jax.Array,
         left_x_rect: jax.Array, left_t: jax.Array, left_p: jax.Array,
         left_valid: jax.Array, T_left_rv: jax.Array,
         right_x_rect: jax.Array, right_t: jax.Array, right_p: jax.Array,
         right_valid: jax.Array, rig: StereoRig,
-        cfg: EventMatcherConfig) -> EventMatches:
+        cfg: EventMatcherConfig):
     """Match N left events against M time-sorted right events.
 
     Args:
       left_x_rect: (N, 2) rectified left event coords.
       T_left_rv: (N, 4, 4) per-event transform virtual frame -> left cam
         frame at TS time.
-      right_x_rect/right_t/right_p: (M,) sorted-by-time right events.
-    Returns EventMatches (N,) with triangulated inverse depth.
+      right_x_rect/right_t/right_p: (M,) sorted-by-time right events
+        (invalid lanes at the tail, io/events.frame_events layout).
+    Returns (EventMatches (N,) with triangulated inverse depth,
+    stats dict with 'window_overflow' — same-polarity in-window
+    candidates lost to the fixed K-slot window).
     """
     N = left_x_rect.shape[0]
     K = cfg.max_candidates
@@ -59,19 +67,42 @@ def match_events_temporal(
     wx, wy = cfg.patch_size_x, cfg.patch_size_y
 
     # temporal window -> contiguous candidate indices
-    # (EventMatcher.cpp:66-89)
-    lo = jnp.searchsorted(right_t, left_t - cfg.time_threshold / 2,
-                          side="left", method="sort")
-    idx = lo[:, None] + jnp.arange(K, dtype=lo.dtype)[None, :]   # (N, K)
+    # (EventMatcher.cpp:66-89). Two wrinkles vs a raw searchsorted:
+    # (a) invalid lanes of the fixed-capacity frame hold t=0 at the
+    #     tail (io/events.frame_events) and would inflate lo;
+    # (b) wrong-polarity events would consume candidate slots.
+    # So build one time-sorted ordering PER POLARITY (invalid/other-
+    # polarity keys pushed to +inf) and window inside the matching one.
+    t_lo = left_t - cfg.time_threshold / 2
+    t_hi = left_t + cfg.time_threshold / 2
     M = right_t.shape[0]
-    in_range = idx < M
-    idx_c = jnp.clip(idx, 0, M - 1)
+
+    def polarity_order(sel):
+        key = jnp.where(sel, right_t, jnp.inf)
+        order = jnp.argsort(key)                 # stable; inf tail
+        return order, key[order], jnp.sum(sel)
+
+    ord_pos, key_pos, n_pos = polarity_order(right_valid & right_p)
+    ord_neg, key_neg, n_neg = polarity_order(right_valid & ~right_p)
+    lo_pos = jnp.searchsorted(key_pos, t_lo, side="left", method="sort")
+    lo_neg = jnp.searchsorted(key_neg, t_lo, side="left", method="sort")
+    hi_pos = jnp.searchsorted(key_pos, t_hi, side="right", method="sort")
+    hi_neg = jnp.searchsorted(key_neg, t_hi, side="right", method="sort")
+    lo = jnp.where(left_p, lo_pos, lo_neg)
+    hi = jnp.where(left_p, hi_pos, hi_neg)
+    n_same = jnp.where(left_p, n_pos, n_neg)
+    # candidates lost to the fixed K-slot window (docstring contract)
+    window_overflow = jnp.sum(
+        jnp.where(left_valid, jnp.maximum(hi - lo - K, 0), 0))
+
+    win = lo[:, None] + jnp.arange(K, dtype=lo.dtype)[None, :]   # (N, K)
+    in_range = win < n_same[:, None]
+    win_c = jnp.clip(win, 0, M - 1)
+    idx_c = jnp.where(left_p[:, None], ord_pos[win_c], ord_neg[win_c])
     c_t = right_t[idx_c]
-    c_p = right_p[idx_c]
-    c_ok = (in_range & right_valid[idx_c]
-            & (c_t >= (left_t - cfg.time_threshold / 2)[:, None])
-            & (c_t <= (left_t + cfg.time_threshold / 2)[:, None])
-            & (c_p == left_p[:, None]) & left_valid[:, None])
+    c_ok = (in_range
+            & (c_t >= t_lo[:, None]) & (c_t <= t_hi[:, None])
+            & left_valid[:, None])
 
     # epipolar check (EventMatcher.cpp:91-106)
     c_xr = right_x_rect[idx_c]                                   # (N, K, 2)
@@ -101,16 +132,11 @@ def match_events_temporal(
     x1, x2 = jax.vmap(jax.vmap(warp_one, in_axes=(None, 0, None)),
                       in_axes=(0, 0, 0))(xl, inv_depth, T_left_rv)
 
-    bx = (wx - 1) // 2
-    by = (wy - 1) // 2
-    ok_warp = ((x1[..., 0] >= bx) & (x1[..., 0] <= W - bx)
-               & (x1[..., 1] >= by) & (x1[..., 1] <= H - by)
-               & (x2[..., 0] >= bx) & (x2[..., 0] <= W - bx)
-               & (x2[..., 1] >= by) & (x2[..., 1] <= H - by))
-
+    # patch_interpolate's containment check (ul >= 0, ul + w < size) is
+    # strictly tighter than any separate warp-bounds test
     p1, ok1 = patch_interpolate(ts_left, x1, wy, wx)    # (N, K, wy, wx)
     p2, ok2 = patch_interpolate(ts_right, x2, wy, wx)
-    c_ok = c_ok & ok_warp & ok1 & ok2
+    c_ok = c_ok & ok1 & ok2
 
     def znorm(p):
         mu = jnp.mean(p, axis=(-2, -1), keepdims=True)
@@ -132,9 +158,10 @@ def match_events_temporal(
     best_inv = jnp.take_along_axis(inv_depth, best[:, None], axis=1)[:, 0]
     disp_best = jnp.take_along_axis(disp, best[:, None], axis=1)[:, 0]
 
-    return EventMatches(
+    matches = EventMatches(
         x_left=xl, x_left_raw=xl, x_right=x_right, t=left_t,
         inv_depth=jnp.where(matched, best_inv, 0.0),
         cost=jnp.where(matched, best_cost, 1.0).astype(dtype),
         disparity=jnp.where(matched, disp_best, 0.0).astype(dtype),
         valid=matched)
+    return matches, {"window_overflow": window_overflow.astype(jnp.int32)}

@@ -44,11 +44,16 @@ class SGMConfig:
     init_variance: float = struct.field(pytree_node=False, default=0.001 ** 2)
 
 
-def _box_filter(img: jax.Array, k: int) -> jax.Array:
-    """(..., H, W) mean filter with zero padding, window k x k."""
+def _box_sum(img: jax.Array, k: int) -> jax.Array:
+    """(..., H, W) separable block SUM with zero padding, window k x k.
+
+    A SUM, not a mean: OpenCV StereoSGBM's matching cost is summed over
+    the block, and the reference's P1/P2 (8*11^2, 32*11^2 —
+    esvo_Mapping.cpp:101-108) are calibrated against that scale. A mean
+    here would make the smoothness penalties ~block^2 too strong and
+    flatten the bootstrap disparity map."""
     r = k // 2
     H, W = img.shape[-2], img.shape[-1]
-    # separable sum, zero padding
     p = jnp.pad(img, [(0, 0)] * (img.ndim - 2) + [(r, r), (0, 0)])
     out = jnp.zeros_like(img)
     for dy in range(k):
@@ -57,7 +62,7 @@ def _box_filter(img: jax.Array, k: int) -> jax.Array:
     out = jnp.zeros_like(img)
     for dx in range(k):
         out = out + jax.lax.slice_in_dim(p, dx, dx + W, axis=img.ndim - 1)
-    return out / (k * k)
+    return out
 
 
 def cost_volume(ts_left: jax.Array, ts_right: jax.Array,
@@ -74,7 +79,7 @@ def cost_volume(ts_left: jax.Array, ts_right: jax.Array,
         ad = ad.at[:, :d].set(big)
         ads.append(ad)
     vol = jnp.stack(ads, axis=0)            # (D, H, W)
-    vol = _box_filter(vol, cfg.block_size)
+    vol = _box_sum(vol, cfg.block_size)
     return jnp.transpose(vol, (1, 2, 0))    # (H, W, D)
 
 
@@ -121,12 +126,14 @@ def semi_global_matching(ts_left: jax.Array, ts_right: jax.Array,
     best = jnp.argmin(agg, axis=-1)                          # (H, W)
     ar = jnp.arange(D)
     best_cost = jnp.min(agg, axis=-1)
-    # uniqueness: any other disparity (excluding neighbours of best) whose
-    # cost is within (1 + ratio/100) of the best invalidates the pixel
+    # uniqueness (OpenCV SGBM computeDisparitySGBM): invalid when any
+    # other disparity (excluding neighbours of best) satisfies
+    # cost*(100 - ratio) < best*100, i.e. valid requires
+    # second*(100 - ratio) >= best*100
     masked = jnp.where(jnp.abs(ar[None, None, :] - best[..., None]) <= 1,
                        jnp.inf, agg)
     second = jnp.min(masked, axis=-1)
-    unique = second * 100.0 >= best_cost * (100.0 + cfg.uniqueness_ratio)
+    unique = second * (100.0 - cfg.uniqueness_ratio) >= best_cost * 100.0
 
     # parabola sub-pixel refinement
     bl = jnp.clip(best - 1, 0, D - 1)

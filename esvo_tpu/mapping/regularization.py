@@ -24,7 +24,25 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from esvo_tpu.mapping.fusion import DepthGrid, EMPTY, _student_t_update
+from esvo_tpu.mapping.fusion import DepthGrid, EMPTY
+
+
+def _reg_tdist_posterior(invD_a, s2_a, nu_a, invD_b, s2_b, nu_b):
+    """Sequential pairwise posterior of the regularization fold
+    (DepthRegularization.cpp:73-86). Unlike fusion's
+    DepthPoint::update_studentT, nu_post = min(nu_prior, nu_obs) with
+    NO +1 increment. nu=inf (Gaussian points) takes the Gaussian-product
+    limit to avoid inf/inf."""
+    nu_u = jnp.minimum(nu_a, nu_b)
+    s_sum = s2_a + s2_b
+    invD = (s2_b * invD_a + s2_a * invD_b) / s_sum
+    d2 = (invD_a - invD_b) ** 2
+    gauss = s2_a * s2_b / s_sum
+    finite = jnp.isfinite(nu_u)
+    nu_safe = jnp.where(finite, nu_u, 3.0)
+    s2 = jnp.where(finite,
+                   (nu_safe + d2 / s_sum) / (nu_safe + 1.0) * gauss, gauss)
+    return invD, s2, nu_u
 
 
 @struct.dataclass
@@ -84,7 +102,7 @@ def regularize(grid: DepthGrid, cfg: RegularizationConfig) -> DepthGrid:
             wmean = wmean + w * d_n
         else:
             init = close & ~t_started
-            f_invD, f_s2, f_nu, _ = _student_t_update(
+            f_invD, f_s2, f_nu = _reg_tdist_posterior(
                 t_invD, t_s2, t_nu, d_n, s2_n, nu_n)
             upd = close & t_started
             t_invD = jnp.where(init, d_n, jnp.where(upd, f_invD, t_invD))

@@ -67,6 +67,81 @@ def test_matches_correct_disparity_candidate():
     np.testing.assert_allclose(got, want_inv, rtol=1e-6)
 
 
+def test_padded_tail_and_mixed_polarity_buffers():
+    """Runtime frames are zero-padded at the tail (valid=False, t=0) and
+    mix polarities: padding must not shift the temporal window
+    (searchsorted over the raw t would count every padding zero), and
+    wrong-polarity events must not consume candidate slots."""
+    rng = np.random.default_rng(3)
+    r = rig()
+    disp_true = 8.0
+    base = rng.uniform(0, 255, size=(H, W + 32))
+    k = np.ones(3) / 3
+    base = np.apply_along_axis(lambda q: np.convolve(q, k, "same"), 1, base)
+    ts_l = base[:, 16:16 + W]
+    ts_r = base[:, 16 + int(disp_true):16 + int(disp_true) + W]
+
+    N = 16
+    lx = np.stack([rng.uniform(30, W - 20, N), rng.uniform(20, H - 20, N)],
+                  axis=1)
+    lt = np.sort(rng.uniform(1e-4, 1e-3, N))
+    lp = np.ones(N, bool)
+    # true correspondences, PRECEDED (in slot order after sorting) by a
+    # burst of wrong-polarity events at the same times — with
+    # max_candidates=2 they would exhaust the window if counted
+    rx, rt, rp = [], [], []
+    for i in range(N):
+        for _ in range(4):  # wrong-polarity burst
+            rx.append([lx[i, 0] - 30.0, lx[i, 1]])
+            rt.append(lt[i] - 1e-6)
+            rp.append(False)
+        rx.append([lx[i, 0] - disp_true, lx[i, 1]])
+        rt.append(lt[i])
+        rp.append(True)
+    order = np.argsort(rt, kind="stable")
+    rx = np.asarray(rx)[order]
+    rt = np.asarray(rt)[order]
+    rp = np.asarray(rp)[order]
+    # zero-padded tail like io.events.frame_events
+    M = len(rt)
+    pad = 64
+    rx = np.concatenate([rx, np.zeros((pad, 2))])
+    rt = np.concatenate([rt, np.zeros(pad)])
+    rp = np.concatenate([rp, np.zeros(pad, bool)])
+    rv = np.concatenate([np.ones(M, bool), np.zeros(pad, bool)])
+
+    cfg = EventMatcherConfig(time_threshold=1e-4, epipolar_threshold=0.5,
+                             ts_ncc_threshold=0.2, patch_size_x=15,
+                             patch_size_y=15, max_candidates=2)
+    T_lv = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float64), (N, 4, 4))
+    out = match_events_temporal(
+        jnp.asarray(ts_l), jnp.asarray(ts_r), jnp.asarray(lx),
+        jnp.asarray(lt), jnp.asarray(lp), jnp.ones(N, bool), T_lv,
+        jnp.asarray(rx), jnp.asarray(rt), jnp.asarray(rp),
+        jnp.asarray(rv), r, cfg)
+    v = np.asarray(out.valid)
+    assert v.mean() > 0.7, f"only {v.mean():.2f} matched"
+    np.testing.assert_allclose(np.asarray(out.disparity)[v], disp_true,
+                               rtol=1e-6)
+
+
+def test_window_overflow_counted():
+    from esvo_tpu.mapping.event_matcher import match_events_temporal_stats
+    r = rig()
+    ts = jnp.zeros((H, W), jnp.float64)
+    lx = jnp.asarray([[60.0, 40.0]])
+    lt = jnp.asarray([5e-4])
+    T_lv = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float64), (1, 4, 4))
+    cfg = EventMatcherConfig(time_threshold=1e-3, max_candidates=4)
+    M = 10  # 10 same-polarity in-window candidates, 4 slots -> 6 dropped
+    rx = jnp.tile(jnp.asarray([[50.0, 40.0]]), (M, 1))
+    rt = jnp.linspace(1e-4, 9e-4, M)
+    _, stats = match_events_temporal_stats(
+        ts, ts, lx, lt, jnp.asarray([True]), jnp.ones(1, bool), T_lv,
+        rx, rt, jnp.ones(M, bool), jnp.ones(M, bool), r, cfg)
+    assert int(stats["window_overflow"]) == 6
+
+
 def test_polarity_and_epipolar_rejection():
     r = rig()
     ts = jnp.zeros((H, W), jnp.float64) + 100.0

@@ -288,5 +288,28 @@ def test_regularize_tdist_matches_sequential_fold():
         d_new = (s2 * d_p + s_p * v) / (s_p + s2)
         s_new = (nu_u + (d_p - v) ** 2 / (s_p + s2)) / (nu_u + 1) \
             * (s_p * s2) / (s_p + s2)
-        nu_p, d_p, s_p = nu_u + 1, d_new, s_new
+        # regularization keeps nu_post = min (NO +1 — that increment is
+        # fusion's update_studentT, DepthPoint.cpp:177; the fold is
+        # DepthRegularization.cpp:82-85)
+        nu_p, d_p, s_p = nu_u, d_new, s_new
     np.testing.assert_allclose(inv[centre], d_p, rtol=1e-9)
+
+
+def test_regularize_tdist_no_nu_increment():
+    """Mixed-nu neighbourhoods distinguish the regularization fold from
+    fusion's update_studentT: the carried nu must stay min() of what was
+    folded, never incremented (DepthRegularization.cpp:82)."""
+    from esvo_tpu.mapping.regularization import _reg_tdist_posterior
+    # fold three estimates with ASCENDING nu: 2.2, 5.0, 9.0
+    d, s2, nu = 0.5, 1e-4, 2.2
+    d, s2, nu = [float(x) for x in
+                 _reg_tdist_posterior(d, s2, nu, 0.52, 2e-4, 5.0)]
+    assert nu == 2.2  # min(2.2, 5.0), no +1
+    d2, s22, nu2 = [float(x) for x in
+                    _reg_tdist_posterior(d, s2, nu, 0.48, 1.5e-4, 9.0)]
+    assert nu2 == 2.2
+    # manual recursion (reference formulas)
+    dd = (2e-4 * 0.5 + 1e-4 * 0.52) / 3e-4
+    ss = (2.2 + (0.5 - 0.52) ** 2 / 3e-4) / 3.2 * (1e-4 * 2e-4) / 3e-4
+    np.testing.assert_allclose(d, dd, rtol=1e-12)
+    np.testing.assert_allclose(s2, ss, rtol=1e-12)
