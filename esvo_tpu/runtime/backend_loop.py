@@ -46,10 +46,14 @@ class BackendLoop:
                       float(P[1, 2]))
         self.voxel_size = voxel_size
         self._mapping_cycles = 0
-        # sliding window of (time, T_world_kf, pts_world, uv, valid)
+        # sliding window of (time, T_world_kf, p_cam (frame-local), uv,
+        # valid) — points are stored in keyframe-camera coordinates so a
+        # refined pose automatically moves its points (a world-coordinate
+        # copy would go stale the moment BA updates the pose)
         self._kfs: list[tuple] = []
         self.num_ba_runs = 0
         self.last_correction = np.eye(4)
+        self._seen_reset = getattr(system, "reset_count", 0)
 
     def _sample_keyframe(self):
         """Sample the current depth frame's best points + their pixels."""
@@ -65,16 +69,23 @@ class BackendLoop:
         uv = np.asarray(grid.x)[ys, xs]                 # sub-pixel coords
         p_cam = np.asarray(grid.p_cam)[ys, xs]
         T = np.asarray(sys.T_world_frame)
-        pts_world = p_cam @ T[:3, :3].T + T[:3, 3]
-        return (sys.last_tick_time, T, pts_world, uv,
-                np.ones(len(ys), bool))
+        return (sys.last_tick_time, T, p_cam, uv, np.ones(len(ys), bool))
 
     def maybe_update(self, tick_out: dict) -> dict | None:
         """Call after a mapping tick; runs BA when the window advances.
         Returns BA stats dict or None."""
         sys = self.system
+        # a system reset re-zeroes the world frame: keyframes built in
+        # the previous frame must not mix into the next BA window
+        if getattr(sys, "reset_count", 0) != self._seen_reset:
+            self._seen_reset = sys.reset_count
+            self._kfs = []
+            self._mapping_cycles = 0
+        # only a tick whose (finalized) mapping cycle actually ran counts
+        # ("map_points" is set on EVERY tick; bm_stats/sgm_points only
+        # appear when a cycle published)
         if sys.status != SystemStatus.WORKING \
-                or "map_points" not in tick_out:
+                or not ("bm_stats" in tick_out or "sgm_points" in tick_out):
             return None
         self._mapping_cycles += 1
         if self._mapping_cycles % self.keyframe_every != 0:
@@ -90,8 +101,9 @@ class BackendLoop:
         fx, fy, cx, cy = self._intr
         graph = KeyframeGraph(fx=fx, fy=fy, cx=cx, cy=cy,
                               voxel_size=self.voxel_size)
-        for (t, T, pts, uv, ok) in self._kfs:
-            graph.add_keyframe(T, pts, uv, ok)
+        for (t, T, p_cam, uv, ok) in self._kfs:
+            pts_world = p_cam @ T[:3, :3].T + T[:3, 3]
+            graph.add_keyframe(T, pts_world, uv, ok)
         if graph.multiview_fraction() < 0.1:
             return None
         prob = build_ba_problem(graph, max_points=2000)
@@ -113,16 +125,19 @@ class BackendLoop:
             prob, costs = bundle_adjust(prob, self.ba_cfg)
         self.num_ba_runs += 1
 
-        # fold the newest keyframe's correction into the live pose
+        # fold the newest keyframe's correction into the live state —
+        # ALL of it (pose table, ref maps, history poses, global map):
+        # correcting only T_world_cur would be undone by the next
+        # tracking solve against uncorrected ref-map points
         T_old = self._kfs[-1][1]
         T_new = np.asarray(prob.T_world_kf[-1], np.float64)
         corr = T_new @ np.linalg.inv(T_old)
         self.last_correction = corr
-        sys.T_world_cur = corr @ sys.T_world_cur
-        sys.T_world_frame = corr @ np.asarray(sys.T_world_frame)
-        # refresh stored keyframe poses with the refined ones
-        self._kfs = [(t, np.asarray(Tk, np.float64), pts, uv, ok)
-                     for (t, _, pts, uv, ok), Tk
+        sys.apply_world_correction(corr)
+        # refresh stored keyframe poses with the refined ones (their
+        # frame-local points follow automatically)
+        self._kfs = [(t, np.asarray(Tk, np.float64), p_cam, uv, ok)
+                     for (t, _, p_cam, uv, ok), Tk
                      in zip(self._kfs, np.asarray(prob.T_world_kf))]
         c = np.asarray(costs)
         return {"ba_cost_initial": float(c[0]), "ba_cost_final": float(c[-1]),

@@ -84,6 +84,14 @@ class MVStereoSystem(EsvoSystem):
         # ring of right events for temporal matching
         self._right_events = None
 
+    def reconfigure(self, config: SystemConfig, reset: bool = True):
+        """Runtime parameter update: rebuild the mode-specific programs
+        too (the base class only rebuilds its own; stale closures would
+        keep the old cfg/N — a shape change would then crash
+        _push_history)."""
+        super().reconfigure(config, reset=reset)
+        self._build_mv_programs()
+
     def _build_mv_programs(self):
         cfg = self.cfg
         rig = self.rig
@@ -176,11 +184,19 @@ class MVStereoSystem(EsvoSystem):
                                         gt_pose=gt_pose,
                                         do_mapping=do_mapping)
 
-        # modes 0/1/2 — custom dispatch
+        # modes 0/1/2 — custom dispatch. do_mapping=None keeps the base
+        # class's rate scheduling (cfg.mapping.mapping_rate_hz), exactly
+        # like modes 3/4 which forward the sentinel to super()
+        if do_mapping is None:
+            period = 1.0 / self.cfg.mapping.mapping_rate_hz
+            do_mapping = (self.last_mapping_time is None
+                          or t_sync - self.last_mapping_time
+                          >= period - 1e-9)
         out = super().process_tick(t_sync, ev_left, ev_right,
                                    gt_pose=gt_pose, do_mapping=False)
         if not do_mapping:
             return out
+        self.last_mapping_time = t_sync
         ts_l = out["ts_left"]
         ts_r = out["ts_right"]
         T_wf = np.asarray(gt_pose)

@@ -198,6 +198,45 @@ class EsvoSystem:
         # (esvo_Mapping.cpp:909-978)
         self._global_voxels: dict = {}
         self._pending_mapping = None
+        # observers (e.g. BackendLoop) watch this to drop state built in
+        # the pre-reset world frame
+        self.reset_count = getattr(self, "reset_count", 0) + 1
+
+    def apply_world_correction(self, corr: np.ndarray) -> None:
+        """Left-multiply EVERY world-frame quantity of the live state by
+        the 4x4 `corr` (used by the BA backend to fold a refined-pose
+        correction in). Correcting only T_world_cur would be undone at
+        the next tick: the tracker registers against the ref-map points
+        and the mapper interpolates the pose table, so all of them must
+        move to the new frame together. Frame-local state (grid.p_cam,
+        time surfaces) is untouched."""
+        corr = np.asarray(corr, np.float64)
+        R, tr = corr[:3, :3], corr[:3, 3]
+        self.T_world_cur = corr @ self.T_world_cur
+        self.T_world_frame = corr @ self.T_world_frame
+        self.pose_list = [corr @ T for T in self.pose_list]
+        self.traj_poses = [corr @ T for T in self.traj_poses]
+        cj = jnp.asarray(corr, self.dtype)
+
+        def move_pts(pts):
+            return jnp.einsum("ij,...j->...i", cj[:3, :3], pts) + cj[:3, 3]
+
+        self._ref_maps = [(move_pts(p), ok, n)
+                          for (p, ok, n) in self._ref_maps]
+        if self._map_pts is not None:
+            self._map_pts = move_pts(self._map_pts)
+        # history frames carry world poses per point
+        self.history = self.history.replace(
+            T_world_cam=jnp.einsum("ij,fnjk->fnik", cj,
+                                   self.history.T_world_cam))
+        if self._pending_mapping is not None:
+            self._pending_mapping["pts"] = move_pts(
+                self._pending_mapping["pts"])
+        if self._global_voxels:
+            pts = np.stack(list(self._global_voxels.values()))
+            pts = pts @ R.T + tr
+            self._global_voxels = dict(
+                zip(self._global_voxels.keys(), pts))
 
     # ------------------------------------------------------------------
     # compiled programs
@@ -435,8 +474,10 @@ class EsvoSystem:
                 evl, evr, ts = inp
                 st_l = insert(st_l, evl)
                 st_r = insert(st_r, evr)
+                # the tracker only needs the LEFT surface per tick; the
+                # right surface (and the stacked per-tick copies) are
+                # rendered once from the final state after the scan
                 s_l = render(st_l, ts, rig.left, cfg.surface).astype(dt)
-                s_r = render(st_r, ts, rig.right, cfg.surface).astype(dt)
                 T_ref_left = T_ref_world @ T_cur.astype(dt)
                 neg, gu, gv = reg.negative_time_surface(
                     s_l, cfg.tracker.kernel_size)
@@ -445,13 +486,15 @@ class EsvoSystem:
                     T_world_ref=T_world_ref, points=p_ref,
                     point_valid=ok, ts_negative=neg, grad_u=gu, grad_v=gv)
                 prob, T_est, rms = reg.solve(prob, rig.left, cfg.tracker)
-                return (st_l, st_r, T_est), (T_est, rms[-1], s_l, s_r)
+                return (st_l, st_r, T_est), (T_est, rms[-1])
 
-            (st_l, st_r, _), (poses, rms, surf_l, surf_r) = jax.lax.scan(
+            (st_l, st_r, _), (poses, rms) = jax.lax.scan(
                 step, (st_l, st_r, T_world_cur0.astype(dt)),
                 (ev_l, ev_r, t_syncs))
-            return (st_l, st_r, poses, rms, surf_l[-1], surf_r[-1],
-                    jnp.sum(ok))
+            s_l = render(st_l, t_syncs[-1], rig.left, cfg.surface).astype(dt)
+            s_r = render(st_r, t_syncs[-1], rig.right,
+                         cfg.surface).astype(dt)
+            return (st_l, st_r, poses, rms, s_l, s_r, jnp.sum(ok))
 
         self._roll_programs[K] = (roll_render, roll_track)
         return self._roll_programs[K]
@@ -716,6 +759,14 @@ class EsvoSystem:
         if not p["gt_mode"] and self._current_ref_map() is None:
             self.status = SystemStatus.INITIALIZATION
             self._frames_filled = 0
+            # invalidate the fusion history too: its frames were built
+            # under the (now untrusted) pre-failure poses, and the next
+            # SGM bootstrap's seed_frame flattens ALL ring slots — stale
+            # frames must not contaminate the restart map (the reference
+            # fully clears state on re-initialization)
+            self._hist_slot = 0
+            self.history = self.history.replace(
+                valid=jnp.zeros_like(self.history.valid))
         out["map_points"] = self.stats["map_points"]
         return out
 
@@ -751,14 +802,22 @@ class EsvoSystem:
                 else [])
         dts = np.diff(np.concatenate([prev, t_syncs]))
         if len(dts) and ((dts < 0).any() or (dts >= 0.5).any()):
+            # preserve the caller's mapping request: in roll semantics a
+            # forced mapping cycle lands on the final tick
             per_tick = [
                 self.process_tick(
                     float(t),
                     {k: v[i] for k, v in ev_left.items()},
                     {k: v[i] for k, v in ev_right.items()},
-                    gt_pose=None if gt_poses is None else gt_poses[i])
+                    gt_pose=None if gt_poses is None else gt_poses[i],
+                    do_mapping=(do_mapping if i == len(t_syncs) - 1
+                                else (None if do_mapping is None
+                                      else False)))
                 for i, t in enumerate(t_syncs)]
-            return {"per_tick": per_tick, "status": self.status.value}
+            out = dict(per_tick[-1])
+            out["per_tick"] = per_tick
+            out["status"] = self.status.value
+            return out
 
         out = {"t": float(t_syncs[-1]), "status": self.status.value}
         fin = self._finalize_pending_mapping()

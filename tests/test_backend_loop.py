@@ -53,6 +53,77 @@ def test_backend_loop_runs_and_reduces_cost():
     assert ang < 0.1
 
 
+def test_apply_world_correction_consistency():
+    """A BA correction must move EVERY world-frame quantity together:
+    pose table, ref-map points, history poses, global map — otherwise
+    the next tracking solve (against uncorrected map points) undoes it."""
+    rig = make_ideal_rig(64, 48, 50.0, 50.0, 31.5, 23.5, 0.1,
+                         dtype=jnp.float32)
+    from esvo_tpu.runtime.config import (SystemConfig, MappingConfig,
+                                         TrackingNodeConfig)
+    import dataclasses
+    cfg = SystemConfig()
+    cfg.mapping = dataclasses.replace(cfg.mapping, process_event_num=64,
+                                      max_fusion_points=128)
+    cfg.__post_init__()
+    sys_ = EsvoSystem(rig, cfg)
+    rng = np.random.default_rng(0)
+    # inject world-frame state
+    sys_.pose_times = [0.0, 0.01]
+    T1 = np.eye(4); T1[:3, 3] = [0.1, 0, 0]
+    sys_.pose_list = [np.eye(4), T1]
+    sys_.T_world_cur = T1.copy()
+    sys_.T_world_frame = T1.copy()
+    pts = jnp.asarray(rng.normal(size=(10, 3)), jnp.float32)
+    ok = jnp.ones(10, bool)
+    sys_._ref_maps = [(pts, ok, 10)]
+    sys_._map_pts = pts
+    sys_._global_voxels = {(0, 0, 0): np.array([1.0, 2.0, 3.0])}
+
+    corr = np.eye(4)
+    th = 0.1
+    corr[:3, :3] = [[np.cos(th), -np.sin(th), 0],
+                    [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+    corr[:3, 3] = [0.05, -0.02, 0.01]
+    sys_.apply_world_correction(corr)
+
+    np.testing.assert_allclose(sys_.T_world_cur, corr @ T1, atol=1e-12)
+    np.testing.assert_allclose(sys_.pose_list[0], corr, atol=1e-12)
+    want_pts = np.asarray(pts) @ corr[:3, :3].T + corr[:3, 3]
+    np.testing.assert_allclose(np.asarray(sys_._ref_maps[0][0]), want_pts,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sys_._map_pts), want_pts,
+                               rtol=1e-5, atol=1e-6)
+    gm = sys_.global_map()
+    np.testing.assert_allclose(
+        gm[0], corr[:3, :3] @ np.array([1.0, 2.0, 3.0]) + corr[:3, 3],
+        rtol=1e-6)
+    # history poses moved too
+    np.testing.assert_allclose(np.asarray(sys_.history.T_world_cam[0, 0]),
+                               corr @ np.eye(4), atol=1e-5)
+
+
+def test_backend_reset_awareness():
+    """EsvoSystem.reset() re-zeroes the world frame; the backend must
+    drop keyframes built in the old frame instead of mixing them in."""
+    rig = make_ideal_rig(64, 48, 50.0, 50.0, 31.5, 23.5, 0.1,
+                         dtype=jnp.float32)
+    import dataclasses
+    from esvo_tpu.runtime.config import SystemConfig
+    cfg = SystemConfig()
+    cfg.mapping = dataclasses.replace(cfg.mapping, process_event_num=64,
+                                      max_fusion_points=128)
+    cfg.__post_init__()
+    sys_ = EsvoSystem(rig, cfg)
+    backend = BackendLoop(sys_)
+    backend._kfs = [("fake",)] * 4
+    backend._mapping_cycles = 7
+    sys_.reset()
+    out = {"map_points": 0}  # no bm_stats/sgm_points -> not a cycle
+    assert backend.maybe_update(out) is None
+    assert backend._kfs == [] and backend._mapping_cycles == 0
+
+
 def test_ba_reduces_drift_ate():
     """Runtime-level ATE(BA) < ATE(no-BA): a drifting keyframe window
     whose co-observations are consistent with the true geometry. This is
