@@ -70,19 +70,32 @@ class KeyframeGraph:
         return len(self.points)
 
     def multiview_fraction(self) -> float:
-        """Fraction of points observed in >= 2 keyframes."""
-        counts = np.zeros(len(self.points), int)
+        """Fraction of points observed in >= 2 DISTINCT keyframes.
+
+        Counts keyframes, not raw observations: dense event points
+        routinely produce same-voxel duplicates within one keyframe,
+        which constrain nothing across views — counting them would pass
+        the BA gate on gauge-deficient single-view graphs."""
+        seen = set()
+        kf_counts = np.zeros(len(self.points), int)
         for k, i, _, _ in self.obs:
-            counts[i] += 1
-        return float((counts >= 2).mean()) if len(counts) else 0.0
+            if (k, i) not in seen:
+                seen.add((k, i))
+                kf_counts[i] += 1
+        return float((kf_counts >= 2).mean()) if len(kf_counts) else 0.0
 
 
 def build_ba_problem(graph: KeyframeGraph,
                      max_points: int | None = None) -> BAProblem:
     """Pack the graph into a fixed-shape BAProblem (device arrays)."""
     K = graph.num_keyframes
-    pts = np.asarray(graph.points)
-    obs = np.asarray([(k, i, u, v) for (k, i, u, v) in graph.obs])
+    if K == 0:
+        raise ValueError("build_ba_problem: graph has no keyframes")
+    pts = np.asarray(graph.points, np.float64).reshape(-1, 3)
+    # explicit (0, 4) shape: an empty obs list must yield an empty
+    # problem, not an IndexError on obs[:, 0]
+    obs = np.asarray([(k, i, u, v) for (k, i, u, v) in graph.obs],
+                     np.float64).reshape(-1, 4)
     if max_points is not None and len(pts) > max_points:
         # keep the most-observed points
         counts = np.zeros(len(pts), int)

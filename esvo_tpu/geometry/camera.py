@@ -35,7 +35,9 @@ from flax import struct
 @struct.dataclass
 class PinholeParams:
     K: jax.Array          # (3, 3) intrinsics of the raw sensor
-    D: jax.Array          # (4,)   distortion coefficients
+    D: jax.Array          # (4,) or (5,) distortion coefficients
+                          # (plumb_bob: k1 k2 p1 p2 [k3]; equidistant:
+                          # k1..k4)
     R: jax.Array          # (3, 3) rectification rotation
     P: jax.Array          # (3, 4) projection matrix of the rectified camera
     width: int = struct.field(pytree_node=False)
@@ -76,8 +78,9 @@ def _distort_normalized(model: str, D: jax.Array, xy: jax.Array) -> jax.Array:
     x, y = xy[..., 0], xy[..., 1]
     if model == "plumb_bob":
         k1, k2, p1, p2 = D[0], D[1], D[2], D[3]
+        k3 = D[4] if D.shape[0] > 4 else 0.0  # optional 5-coeff form
         r2 = x * x + y * y
-        cdist = 1.0 + r2 * (k1 + k2 * r2)
+        cdist = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
         xd = x * cdist + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
         yd = y * cdist + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
         return jnp.stack([xd, yd], axis=-1)
@@ -98,10 +101,11 @@ def _undistort_normalized(model: str, D: jax.Array, xy: jax.Array,
     x0, y0 = xy[..., 0], xy[..., 1]
     if model == "plumb_bob":
         k1, k2, p1, p2 = D[0], D[1], D[2], D[3]
+        k3 = D[4] if D.shape[0] > 4 else 0.0
         x, y = x0, y0
         for _ in range(iters):
             r2 = x * x + y * y
-            icdist = 1.0 / (1.0 + r2 * (k1 + k2 * r2))
+            icdist = 1.0 / (1.0 + r2 * (k1 + r2 * (k2 + r2 * k3)))
             dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
             dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
             x = (x0 - dx) * icdist
@@ -237,14 +241,16 @@ def remap_bilinear(img: jax.Array, map_xy: jax.Array,
     return out
 
 
-def valid_pixel_mask(params: PinholeParams) -> jax.Array:
+def valid_pixel_mask(params: PinholeParams,
+                     inv_map: jax.Array | None = None) -> jax.Array:
     """(H, W) bool: rectified pixels fully covered by the raw sensor.
 
     Mirrors the reference's trick of remapping an all-ones image and
     thresholding (CameraSystem.cpp:67-72: threshold 0.999 for plumb_bob,
-    :90: 0.1 for equidistant).
-    """
-    inv = inverse_rectification_map(params)
+    :90: 0.1 for equidistant). Pass the already-computed inverse map to
+    skip recomputing the full-grid undistortion (make_camera does)."""
+    inv = (inverse_rectification_map(params) if inv_map is None
+           else inv_map)
     ones = jnp.ones((params.height, params.width), dtype=inv.dtype)
     remapped = remap_bilinear(ones, inv, fill=0.0)
     thr = 0.999 if params.model == "plumb_bob" else 0.1
@@ -252,11 +258,12 @@ def valid_pixel_mask(params: PinholeParams) -> jax.Array:
 
 
 def make_camera(params: PinholeParams) -> Camera:
+    inv = inverse_rectification_map(params)
     return Camera(
         params=params,
         lut=rectification_lut(params),
-        inv_map=inverse_rectification_map(params),
-        mask=valid_pixel_mask(params),
+        inv_map=inv,
+        mask=valid_pixel_mask(params, inv),
     )
 
 
@@ -352,8 +359,13 @@ def load_camera_yaml(path: str, dtype=jnp.float32) -> Camera:
     height = int(info["image_height"])
     K = jnp.asarray(np.array(info["camera_matrix"]["data"],
                              dtype=np.float64).reshape(3, 3), dtype=dtype)
-    D = np.array(info["distortion_coefficients"]["data"], dtype=np.float64)
-    D = jnp.asarray(np.resize(D, 4), dtype=dtype)
+    D = np.array(info["distortion_coefficients"]["data"],
+                 dtype=np.float64).reshape(-1)
+    # zero-PAD short coefficient lists (np.resize would repeat them
+    # cyclically, inventing tangential terms from radial ones); a 5th
+    # plumb_bob coefficient (k3) is kept — _distort_normalized models it
+    D = np.pad(D[:5], (0, max(0, 5 - len(D))))
+    D = jnp.asarray(D, dtype=dtype)
     R = jnp.asarray(np.array(info["rectification_matrix"]["data"],
                              dtype=np.float64).reshape(3, 3), dtype=dtype)
     P = jnp.asarray(np.array(info["projection_matrix"]["data"],

@@ -41,43 +41,34 @@ def slice_patches(img: jax.Array, ul_y: jax.Array, ul_x: jax.Array,
                   h: int, w: int) -> jax.Array:
     """Extract (h, w) blocks of img at integer upper-left corners.
 
-    vmap of lax.dynamic_slice -> one gather with slice_sizes=(h, w):
-    each patch row is fetched as a contiguous slice instead of h*w
-    independent elements (the difference between ~6 ns/element and
-    streaming bandwidth on TPU). Out-of-range corners clamp (callers mask
-    validity separately, matching the reference's boundary returns).
+    Out-of-range indices clamp per element (edge replication) — one
+    consistent semantic across paths; callers mask validity separately,
+    matching the reference's boundary returns. (A fully in-bounds
+    window is identical under any clamping rule, and every in-repo
+    caller checks containment before trusting the contents.)
+
+    Paths: small windows use one flat gather of all elements (a
+    vmap(lax.dynamic_slice) serializes to a ~1.2 us/window scalar loop
+    on TPU when composed into a larger jit); 8-row-aligned f32 windows
+    on TPU use the Pallas slab kernel (~0.2 us/window at 4096 windows);
+    everything else uses the same flat gather at larger h*w.
     """
     shape = ul_y.shape
     uy = ul_y.reshape(-1)
     ux = ul_x.reshape(-1)
     H, W = img.shape
 
-    # Small windows: one flat gather of all window elements. The
-    # vmap(dynamic_slice) fallback below serializes to a ~1.2 us/window
-    # scalar loop on TPU when composed into a larger jit — for the
-    # tracker's 2x2 bilinear windows that loop dominated the whole solve.
-    if h * w <= 64:
-        yy = jnp.clip(uy[:, None, None] + jnp.arange(h)[None, :, None],
-                      0, H - 1)
-        xx = jnp.clip(ux[:, None, None] + jnp.arange(w)[None, None, :],
-                      0, W - 1)
-        out = jnp.take(img.reshape(-1), yy * W + xx, mode="clip")
-        return out.reshape(shape + (h, w))
-
-    # On TPU, XLA serializes this batched slice into a scalar loop
-    # (~1.2 us/window); the Pallas kernel extracts windows on-chip
-    # (~0.2 us/window at 4096 windows). Requires 8-row-aligned window
-    # heights (sublane constraint) — other shapes fall back.
-    if jax.default_backend() == "tpu" and h % 8 == 0 \
+    if h * w > 64 and jax.default_backend() == "tpu" and h % 8 == 0 \
             and img.dtype == jnp.float32:
         from esvo_tpu.ops.pallas_patches import pallas_slice_patches
         out = pallas_slice_patches(img, uy, ux, h, w)
         return out.reshape(shape + (h, w))
 
-    def one(y, x):
-        return jax.lax.dynamic_slice(img, (y, x), (h, w))
-
-    out = jax.vmap(one)(uy, ux)
+    yy = jnp.clip(uy[:, None, None] + jnp.arange(h)[None, :, None],
+                  0, H - 1)
+    xx = jnp.clip(ux[:, None, None] + jnp.arange(w)[None, None, :],
+                  0, W - 1)
+    out = jnp.take(img.reshape(-1), yy * W + xx, mode="clip")
     return out.reshape(shape + (h, w))
 
 

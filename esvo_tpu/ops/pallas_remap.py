@@ -213,8 +213,10 @@ class _PlanStatic:
         return isinstance(other, _PlanStatic) and self._key == other._key
 
 
-_PLAN_CACHE: dict = {}
-_ID_CACHE: dict = {}
+_PLAN_CACHE: dict = {}          # content-keyed plans (deduped)
+_ID_CACHE: dict = {}            # identity fast path (bounded LRU)
+_ID_CACHE_MAX = 8               # a system holds a handful of LUTs
+_PLAN_CACHE_MAX = 32
 
 
 def get_plan(map_xy, height: int, width: int):
@@ -222,7 +224,9 @@ def get_plan(map_xy, height: int, width: int):
 
     Two-level cache: by object identity first (the per-camera LUT is a
     long-lived array — skips hashing 2+ MB per eager call), then by
-    content sha1 (distinct objects with equal maps share one plan)."""
+    content sha1 (distinct objects with equal maps share one plan).
+    Both levels are bounded so parameter sweeps / reconfigure loops
+    that rebuild cameras cannot grow memory without bound."""
     hit = _ID_CACHE.get(id(map_xy))
     if hit is not None and hit[0] is map_xy:
         return hit[1]
@@ -236,8 +240,13 @@ def get_plan(map_xy, height: int, width: int):
                   jnp.asarray(plan.fy), jnp.asarray(plan.fx),
                   jnp.asarray(plan.m))
         entry = (arrays, _PlanStatic(plan))
+        while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
         _PLAN_CACHE[key] = entry
-    # keep the object alive so its id cannot be reused by a new array
+    # keep the object alive so its id cannot be reused by a new array;
+    # evict oldest first (dict preserves insertion order)
+    while len(_ID_CACHE) >= _ID_CACHE_MAX:
+        _ID_CACHE.pop(next(iter(_ID_CACHE)))
     _ID_CACHE[id(map_xy)] = (map_xy, entry)
     return entry
 
