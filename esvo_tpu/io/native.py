@@ -21,15 +21,20 @@ _SRC = os.path.join(_NATIVE_DIR, "event_loader.cpp")
 _LIB = os.path.join(_NATIVE_DIR, "libevent_loader.so")
 
 _lib = None
+_probed = False
 
 
 def _build() -> str | None:
     """Compile the shared library. Returns None only when no compiler
     exists; a *failed* compile with a present toolchain raises — a silent
     fallback would hide a broken native path behind the Python one."""
-    if os.path.exists(_LIB) and \
-            os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-        return _LIB
+    if os.path.exists(_LIB):
+        # a prebuilt .so without the source alongside is fine
+        if not os.path.exists(_SRC) or \
+                os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+            return _LIB
+    if not os.path.exists(_SRC):
+        return None  # neither artifact nor source: Python fallback
     try:
         proc = subprocess.run(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
@@ -44,10 +49,13 @@ def _build() -> str | None:
 
 
 def get_lib():
-    """The loaded ctypes library, or None when unavailable."""
-    global _lib
-    if _lib is not None:
+    """The loaded ctypes library, or None when unavailable (the probe
+    result — including failure — is cached, so a g++-less machine does
+    not re-spawn a compiler per call)."""
+    global _lib, _probed
+    if _lib is not None or _probed:
         return _lib
+    _probed = True
     path = _build()
     if path is None:
         return None
@@ -108,6 +116,13 @@ def load_events_native(path: str,
 def frame_events_native(ev: EventArray, sync_times: np.ndarray,
                         capacity: int):
     """Native framing: identical output contract to io.events.frame_events."""
+    # same absolute-timestamp guard as the Python path: el_frame casts t
+    # to float32, whose resolution at epoch scale (~1.4e9 s) is ~128 s —
+    # silently collapsing time-surface decay
+    if len(ev.t) and abs(float(ev.t[0])) >= 1e6:
+        raise ValueError(
+            "frame_events_native: timestamps look absolute (t[0]="
+            f"{float(ev.t[0]):.3e}); rebase first (EventArray.rebased()).")
     lib = get_lib()
     if lib is None:
         from esvo_tpu.io.events import frame_events

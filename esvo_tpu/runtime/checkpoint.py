@@ -44,6 +44,15 @@ def _flatten(system: EsvoSystem) -> dict:
                          if system.traj_poses else np.zeros((0, 4, 4)))
     out["T_world_frame"] = np.asarray(system.T_world_frame)
     out["T_world_cur"] = np.asarray(system.T_world_cur)
+    # accumulated global cloud (packed int64 voxel keys + positions)
+    if system._global_voxels:
+        out["gmap/keys"] = np.fromiter(system._global_voxels.keys(),
+                                       np.int64)
+        out["gmap/pts"] = np.stack(list(system._global_voxels.values()))
+    else:
+        out["gmap/keys"] = np.zeros((0,), np.int64)
+        out["gmap/pts"] = np.zeros((0, 3))
+    out["rng_key"] = np.asarray(system._key)
     return out
 
 
@@ -54,6 +63,7 @@ def _meta(system: EsvoSystem) -> dict:
         "frames_filled": system._frames_filled,
         "last_tick_time": system.last_tick_time,
         "last_mapping_time": system.last_mapping_time,
+        "events_since_last_obs": system.events_since_last_obs,
         "stats": system.stats,
     }
 
@@ -100,7 +110,14 @@ def load_checkpoint(system: EsvoSystem, path: str) -> EsvoSystem:
     system._frames_filled = int(meta["frames_filled"])
     system.last_tick_time = meta["last_tick_time"]
     system.last_mapping_time = meta.get("last_mapping_time")
+    system.events_since_last_obs = int(
+        meta.get("events_since_last_obs", 0))
     system.stats = meta["stats"]
+    if "gmap/keys" in data:
+        system._global_voxels = dict(
+            zip(data["gmap/keys"].tolist(), data["gmap/pts"]))
+    if "rng_key" in data:
+        system._key = jnp.asarray(data["rng_key"])
     # rebuild the tracker's map-point cache (and its REF_HISTORY head)
     # from the restored frame
     if system.status == SystemStatus.WORKING:

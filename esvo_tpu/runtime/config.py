@@ -52,10 +52,14 @@ class MappingConfig:
 
 @dataclasses.dataclass
 class TrackingNodeConfig:
-    """Node-level tracking knobs (esvo_Tracking.cpp:24-60)."""
+    """Node-level tracking knobs (esvo_Tracking.cpp:24-60).
+
+    tracking_rate_hz is the sync-tick rate the node would run at — the
+    replay CLI reads it as the default --tick-rate-hz. The low-event
+    gate lives on RegProblemConfig.min_num_events (one source of
+    truth)."""
     tracking_rate_hz: float = 100.0
     ref_history_length: int = 10
-    min_num_events: int = 1000
 
 
 @dataclasses.dataclass
@@ -120,7 +124,22 @@ class SystemConfig:
                 raise KeyError(f"unknown keys {sorted(bad)} in config "
                                f"section {section!r}")
             setattr(cfg, section, cls(**values))
-        cfg.__post_init__()
+        # selective coherence: __post_init__ would clobber explicitly
+        # given regularizer/fusion sections with depth-derived values —
+        # only derive what the dict did NOT set
+        if "regularizer" not in d:
+            cfg.regularizer = dataclasses.replace(
+                cfg.regularizer, ls_norm=cfg.depth.ls_norm,
+                radius=cfg.depth.regularization_radius,
+                min_neighbours=cfg.depth.regularization_min_neighbours,
+                min_close_neighbours=(
+                    cfg.depth.regularization_min_close_neighbours))
+        elif "ls_norm" not in d["regularizer"]:
+            cfg.regularizer = dataclasses.replace(
+                cfg.regularizer, ls_norm=cfg.depth.ls_norm)
+        if "fusion" not in d or "ls_norm" not in d["fusion"]:
+            cfg.fusion = dataclasses.replace(cfg.fusion,
+                                             ls_norm=cfg.depth.ls_norm)
         return cfg
 
     @staticmethod
@@ -224,8 +243,7 @@ class SystemConfig:
                 use_numerical_diff=int(t.get("RegProblemType", 1)) == 0)
             cfg.tracking = TrackingNodeConfig(
                 tracking_rate_hz=float(t.get("tracking_rate_hz", 100)),
-                ref_history_length=int(t.get("REF_HISTORY_LENGTH", 10)),
-                min_num_events=int(t.get("MIN_NUM_EVENTS", 1000)))
+                ref_history_length=int(t.get("REF_HISTORY_LENGTH", 10)))
         if time_surface_yaml:
             with open(time_surface_yaml) as f:
                 s = yaml.safe_load(f)

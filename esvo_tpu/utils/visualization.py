@@ -31,8 +31,11 @@ _JET = jet_colormap()
 
 def _colorize(values: np.ndarray, valid: np.ndarray, vmin: float,
               vmax: float, background: int = 255) -> np.ndarray:
-    v = np.clip((values - vmin) / max(vmax - vmin, 1e-12), 0.0, 1.0)
-    idx = (v * 255).astype(np.int32)
+    # invalid cells can hold garbage incl. NaN — sanitize BEFORE the
+    # table lookup (NaN would cast to INT32_MIN and index out of bounds)
+    v = np.nan_to_num((values - vmin) / max(vmax - vmin, 1e-12), nan=0.0,
+                      posinf=1.0, neginf=0.0)
+    idx = np.clip((v * 255).astype(np.int32), 0, 255)
     img = _JET[idx]
     img = np.where(valid[..., None], img, np.uint8(background))
     return img.astype(np.uint8)
@@ -86,8 +89,10 @@ def plot_reprojection_map(pts_world: np.ndarray, valid: np.ndarray,
         h = pc @ np.asarray(P)[:, :3].T + np.asarray(P)[:, 3]
         z = h[:, 2]
         ok = z > 1e-6
-        u = (h[:, 0] / np.maximum(z, 1e-6)).astype(np.int32)
-        v = (h[:, 1] / np.maximum(z, 1e-6)).astype(np.int32)
+        # floor, not int-cast: truncation maps u in (-1, 0) onto column
+        # 0 instead of rejecting it off-image (and biases positions)
+        u = np.floor(h[:, 0] / np.maximum(z, 1e-6)).astype(np.int64)
+        v = np.floor(h[:, 1] / np.maximum(z, 1e-6)).astype(np.int64)
         ok &= (u >= 0) & (u < width) & (v >= 0) & (v < height)
         img[v[ok], u[ok]] = (0, 255, 0)
     return img

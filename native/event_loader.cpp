@@ -73,14 +73,18 @@ void* el_load_txt(const char* path, int64_t max_events, int64_t* n_out) {
     const char* ptr = buf.data();
     const char* end = buf.data() + nread;
     while (ptr < end) {
-      const char* nl = static_cast<const char*>(
-          std::memchr(ptr, '\n', end - ptr));
+      char* nl = static_cast<char*>(
+          const_cast<void*>(std::memchr(ptr, '\n', end - ptr)));
       const char* line_start = ptr;
       std::string tmp;
       if (!nl) {  // partial line -> carry to next read
         carry.append(ptr, end - ptr);
         break;
       }
+      // bound parsing at the line: strtod/strtol skip '\n' as
+      // whitespace, so a malformed 3-field line would otherwise steal
+      // the NEXT line's leading number as its polarity
+      *nl = '\0';
       if (!carry.empty()) {
         carry.append(ptr, nl - ptr);
         tmp = carry;
@@ -93,7 +97,7 @@ void* el_load_txt(const char* path, int64_t max_events, int64_t* n_out) {
         s->t.push_back(tv);
         s->x.push_back(static_cast<int32_t>(xv));
         s->y.push_back(static_cast<int32_t>(yv));
-        s->p.push_back(static_cast<uint8_t>(pv != 0));
+        s->p.push_back(static_cast<uint8_t>(pv > 0));
         if (max_events > 0 &&
             static_cast<int64_t>(s->t.size()) >= max_events) {
           goto done;
@@ -112,7 +116,7 @@ void* el_load_txt(const char* path, int64_t max_events, int64_t* n_out) {
       s->t.push_back(tv);
       s->x.push_back(static_cast<int32_t>(xv));
       s->y.push_back(static_cast<int32_t>(yv));
-      s->p.push_back(static_cast<uint8_t>(pv != 0));
+      s->p.push_back(static_cast<uint8_t>(pv > 0));
     }
   }
 done:

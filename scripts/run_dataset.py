@@ -57,8 +57,9 @@ def parse_args(argv=None):
                     default="closed",
                     help="closed = full mapping<->tracking loop; mvstereo = "
                          "GT poses (requires ground truth)")
-    ap.add_argument("--tick-rate-hz", type=float, default=100.0,
-                    help="sync-tick rate (reference /sync timer, 100 Hz)")
+    ap.add_argument("--tick-rate-hz", type=float, default=None,
+                    help="sync-tick rate (reference /sync timer; default: "
+                         "the preset's tracking_rate_hz, i.e. 100 Hz)")
     ap.add_argument("--start", type=float, default=0.0,
                     help="seconds into the stream to start")
     ap.add_argument("--duration", type=float, default=None,
@@ -158,25 +159,6 @@ def main(argv=None):
     if args.mode == "mvstereo" and gt_times is None:
         raise SystemExit("--mode mvstereo requires ground-truth poses")
 
-    t_end_stream = float(min(ev_l.t[-1], ev_r.t[-1]))
-    t0 = args.start
-    t1 = min(t_end_stream,
-             t0 + args.duration if args.duration else t_end_stream)
-    tick = 1.0 / args.tick_rate_hz
-    sync_times = np.arange(t0 + tick, t1, tick)
-    capacity = args.capacity or 4 * cfg.mapping.process_event_num
-    if not args.quiet:
-        print(f"[run_dataset] {len(ev_l)} + {len(ev_r)} events, "
-              f"{len(sync_times)} ticks @ {args.tick_rate_hz:g} Hz, "
-              f"capacity {capacity}")
-
-    # streaming framer: O(capacity) memory per in-flight frame, with a
-    # prefetch thread overlapping host framing and device compute
-    stream_l = EventFrameStream(ev_l.slice_time(t0, t1), sync_times,
-                                capacity, prefetch=2)
-    stream_r = EventFrameStream(ev_r.slice_time(t0, t1), sync_times,
-                                capacity, prefetch=2)
-
     mesh = None
     if args.devices > 1:
         from esvo_tpu.parallel.sharding import make_mesh
@@ -189,9 +171,39 @@ def main(argv=None):
         from esvo_tpu.runtime.backend_loop import BackendLoop
         backend = BackendLoop(system, keyframe_every=args.ba_every,
                               window=args.ba_window, mesh=mesh)
+
+    tick_rate = args.tick_rate_hz or cfg.tracking.tracking_rate_hz
+    tick = 1.0 / tick_rate
+    t0 = args.start
     if args.resume:
         from esvo_tpu.runtime.checkpoint import load_checkpoint
         load_checkpoint(system, args.resume)
+        # fast-forward past the checkpoint: replaying earlier ticks
+        # would trip the dt<0 watchdog and silently reset the restored
+        # state back to a cold start
+        if system.last_tick_time is not None \
+                and t0 <= system.last_tick_time:
+            t0 = system.last_tick_time
+            if not args.quiet:
+                print(f"[run_dataset] resume: fast-forward to "
+                      f"t={t0:.3f} s (checkpointed tick)")
+
+    t_end_stream = float(min(ev_l.t[-1], ev_r.t[-1]))
+    t1 = min(t_end_stream,
+             t0 + args.duration if args.duration else t_end_stream)
+    sync_times = np.arange(t0 + tick, t1, tick)
+    capacity = args.capacity or 4 * cfg.mapping.process_event_num
+    if not args.quiet:
+        print(f"[run_dataset] {len(ev_l)} + {len(ev_r)} events, "
+              f"{len(sync_times)} ticks @ {tick_rate:g} Hz, "
+              f"capacity {capacity}")
+
+    # streaming framer: O(capacity) memory per in-flight frame, with a
+    # prefetch thread overlapping host framing and device compute
+    stream_l = EventFrameStream(ev_l.slice_time(t0, t1), sync_times,
+                                capacity, prefetch=2)
+    stream_r = EventFrameStream(ev_r.slice_time(t0, t1), sync_times,
+                                capacity, prefetch=2)
 
     if args.debug_maps:
         os.makedirs(args.debug_maps, exist_ok=True)

@@ -28,5 +28,9 @@ _cache_dir = os.environ.get("ESVO_TEST_CACHE",
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # the XLA:CPU AOT sub-caches bake host machine features in and can
+    # SIGILL when replayed under a different feature set (observed:
+    # "+prefer-no-gather is not supported on the host machine")
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 except Exception:  # older jax without the knobs: run uncached
     pass

@@ -144,6 +144,22 @@ def test_native_loader_no_trailing_newline(tmp_path):
     np.testing.assert_array_equal(ev.p, [True, False, True])
 
 
+def test_native_loader_signed_polarity_and_malformed_line(tmp_path):
+    """-1/+1 polarity files must decode like the Python parser (-1 is
+    negative), and a malformed mid-file line must not steal the next
+    line's leading number as its polarity."""
+    from esvo_tpu.io.native import load_events_native
+    _native_lib_or_skip()
+    path = str(tmp_path / "events.txt")
+    with open(path, "w") as f:
+        f.write("0.100 1 2 -1\n0.150 9 9\n0.200 3 4 1\n")
+    ev = load_events_native(path)
+    # the 3-field line is dropped; the -1 polarity is negative
+    assert len(ev) == 2
+    np.testing.assert_allclose(ev.t, [0.1, 0.2], atol=1e-9)
+    np.testing.assert_array_equal(ev.p, [False, True])
+
+
 def test_native_loader_truncated_last_line(tmp_path):
     """A last line truncated mid-write (fewer than 4 fields) must be
     dropped, not fabricated with zeroed fields."""
