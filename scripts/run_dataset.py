@@ -13,6 +13,8 @@ Supported dataset layouts:
   rpg text dir:   events_left.txt events_right.txt [groundtruth.txt]
   MVSEC hdf5:     --mvsec data.h5 [--mvsec-gt gt.h5]
   DSEC hdf5:      --dsec left.h5 right.h5
+  rosbag v2.0:    --bag file.bag (dvs_msgs/EventArray topics — the
+                  reference's native input, read without ROS)
 
 Examples:
   python scripts/run_dataset.py --dataset /data/rpg_bin \
@@ -43,6 +45,13 @@ def parse_args(argv=None):
     src.add_argument("--mvsec-gt", help="MVSEC ground-truth hdf5")
     src.add_argument("--dsec", nargs=2, metavar=("LEFT_H5", "RIGHT_H5"),
                      help="DSEC left/right event hdf5 files")
+    src.add_argument("--bag", help="rosbag v2.0 with stereo "
+                     "dvs_msgs/EventArray topics (the reference's native "
+                     "input; read without ROS)")
+    ap.add_argument("--bag-left-topic", default="/davis/left/events")
+    ap.add_argument("--bag-right-topic", default="/davis/right/events")
+    ap.add_argument("--bag-gt-topic", default=None,
+                    help="geometry_msgs/PoseStamped ground-truth topic")
     ap.add_argument("--calib", required=True,
                     help="calibration dir holding left.yaml/right.yaml "
                          "(reference esvo_core/calib/<dataset> format)")
@@ -128,7 +137,13 @@ def load_events(args):
         ev_l, ev_r = load_dsec_stereo(args.dsec[0], args.dsec[1],
                                       args.max_events)
         return ev_l, ev_r, None, None
-    raise SystemExit("no dataset source given (--dataset/--mvsec/--dsec)")
+    if args.bag:
+        from esvo_tpu.io.rosbag import load_stereo_bag
+        return load_stereo_bag(args.bag, args.bag_left_topic,
+                               args.bag_right_topic, args.bag_gt_topic,
+                               args.max_events)
+    raise SystemExit(
+        "no dataset source given (--dataset/--mvsec/--dsec/--bag)")
 
 
 def interpolate_gt(gt_times, gt_poses, t):

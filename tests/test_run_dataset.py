@@ -176,6 +176,59 @@ def test_run_dataset_sharded_rolls(dataset_dir, tmp_path):
     assert result["ate_rmse_m"] < 0.15, result
 
 
+def test_run_dataset_from_rosbag(dataset_dir, tmp_path):
+    """Full pipeline from a rosbag: pack the fixture's events + GT into
+    a bz2-chunked v2.0 bag (epoch-scale stamps like real rpg bags),
+    replay it through --bag, check the closed-loop ATE."""
+    import jax.numpy as jnp
+    import run_dataset
+    from esvo_tpu.io.datasets import load_rpg_dataset
+    from esvo_tpu.eval.trajectory import load_tum
+    from esvo_tpu.geometry.se3 import rot_to_quat
+    from tests.test_rosbag import (_write_bag, _connection, _message,
+                                   _event_array_msg, _pose_msg)
+
+    ev_l, ev_r, gt_t, gt_T = load_rpg_dataset(str(dataset_dir))
+    t0_abs = 1468941032.0  # epoch offset, like real bags
+    qs = np.asarray(rot_to_quat(jnp.asarray(gt_T[:, :3, :3])))
+
+    def ev_chunks(ev, conn, per=2000):
+        out = []
+        for s in range(0, len(ev.t), per):
+            e = slice(s, s + per)
+            out.append(_message(conn, _event_array_msg(
+                ev.t[e] + t0_abs, ev.x[e], ev.y[e], ev.p[e])))
+        return out
+
+    inner = [_connection(0, "/davis/left/events", "dvs_msgs/EventArray")
+             + _connection(1, "/davis/right/events",
+                           "dvs_msgs/EventArray")
+             + _connection(2, "/gt/pose", "geometry_msgs/PoseStamped")]
+    inner += ev_chunks(ev_l, 0) + ev_chunks(ev_r, 1)
+    inner += [_message(2, _pose_msg(float(gt_t[i]) + t0_abs,
+                                    tuple(gt_T[i][:3, 3]), tuple(qs[i])))
+              for i in range(len(gt_t))]
+    bag_path = str(tmp_path / "fixture.bag")
+    _write_bag(bag_path, inner, "bz2")
+
+    out = str(tmp_path / "traj_bag.txt")
+    result = run_dataset.main([
+        "--bag", bag_path,
+        "--bag-gt-topic", "/gt/pose",
+        "--calib", str(dataset_dir / "calib"),
+        "--mapping-yaml", str(dataset_dir / "cfg" / "mapping.yaml"),
+        "--tracking-yaml", str(dataset_dir / "cfg" / "tracking.yaml"),
+        "--ts-yaml", str(dataset_dir / "cfg" / "ts.yaml"),
+        "--duration", "0.45",
+        "--out", out,
+        "--quiet",
+    ])
+    t_est, _ = load_tum(out)
+    assert len(t_est) >= 40
+    assert result["stats"]["map_points"] > 150
+    assert result["ate_rmse_m"] < 0.15, result
+
+
 def test_run_dataset_mvstereo_mode(dataset_dir, tmp_path):
     import run_dataset
     out = str(tmp_path / "traj_mv.txt")
