@@ -109,6 +109,26 @@ def _decode_event_array(data: bytes):
             ev["p"] > 0)
 
 
+def _decode_camera_info(data: bytes):
+    """sensor_msgs/CameraInfo -> dict(width, height, model, D, K, R, P)."""
+    o = 12                                      # header: seq + stamp
+    _, o = _decode_string(data, o)              # frame_id
+    (height, width) = struct.unpack_from("<II", data, o)
+    o += 8
+    model_b, o = _decode_string(data, o)
+    (nd,) = struct.unpack_from("<I", data, o)
+    o += 4
+    D = np.frombuffer(data, "<f8", count=nd, offset=o).copy()
+    o += 8 * nd
+    K = np.frombuffer(data, "<f8", count=9, offset=o).reshape(3, 3).copy()
+    o += 72
+    R = np.frombuffer(data, "<f8", count=9, offset=o).reshape(3, 3).copy()
+    o += 72
+    P = np.frombuffer(data, "<f8", count=12, offset=o).reshape(3, 4).copy()
+    return dict(width=int(width), height=int(height),
+                model=model_b.decode(), D=D, K=K, R=R, P=P)
+
+
 def _decode_pose_stamped(data: bytes):
     """geometry_msgs/PoseStamped -> (t, (4, 4) pose)."""
     (sec, nsec) = struct.unpack_from("<II", data, 4)
@@ -208,6 +228,15 @@ class BagReader:
             else np.concatenate(ps))
         return out
 
+    def camera_info(self, topic: str) -> dict:
+        """Decode the first sensor_msgs/CameraInfo message of a topic:
+        dict(width, height, model, D, K, R, P)."""
+        msgs = self._messages.get(topic)
+        if not msgs:
+            raise KeyError(f"topic {topic!r} not in bag; available: "
+                           f"{sorted(self._messages)}")
+        return _decode_camera_info(msgs[0])
+
     def poses(self, topic: str):
         """Decode a geometry_msgs/PoseStamped topic ->
         (times (N,), poses (N, 4, 4))."""
@@ -220,6 +249,43 @@ class BagReader:
         poses = np.stack([p[1] for p in pairs])
         order = np.argsort(times, kind="stable")
         return times[order], poses[order]
+
+
+def load_rig_from_bag(path_or_reader,
+                      left_topic: str = "/davis/left/camera_info",
+                      right_topic: str = "/davis/right/camera_info",
+                      dtype=None):
+    """Build a StereoRig from a bag's camera_info topics — no calib
+    directory needed (the reference publishes calibration the same way,
+    rosbag_launcher/*/\\*_calib_info.launch). T_right_left is derived
+    from the rectified right projection matrix (pure-baseline form,
+    CameraSystem.cpp:161-166)."""
+    import jax.numpy as jnp
+    from esvo_tpu.geometry.camera import (PinholeParams, StereoRig,
+                                          make_camera)
+    if dtype is None:
+        dtype = jnp.float32
+    bag = (path_or_reader if isinstance(path_or_reader, BagReader)
+           else BagReader(path_or_reader))
+
+    def cam(topic):
+        i = bag.camera_info(topic)
+        D = np.pad(i["D"][:5], (0, max(0, 5 - len(i["D"]))))
+        params = PinholeParams(
+            K=jnp.asarray(i["K"], dtype), D=jnp.asarray(D, dtype),
+            R=jnp.asarray(i["R"], dtype), P=jnp.asarray(i["P"], dtype),
+            width=i["width"], height=i["height"], model=i["model"])
+        return make_camera(params), i["P"]
+
+    left, _ = cam(left_topic)
+    right, Pr = cam(right_topic)
+    b_vec = np.linalg.inv(Pr[:, :3]) @ Pr[:, 3]
+    baseline = float(np.linalg.norm(b_vec))
+    T = np.eye(4)
+    T[:3, 3] = b_vec
+    return StereoRig(left=left, right=right,
+                     T_right_left=jnp.asarray(T, dtype),
+                     baseline=jnp.asarray(baseline, dtype))
 
 
 def load_stereo_bag(path: str,

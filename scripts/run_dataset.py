@@ -52,9 +52,15 @@ def parse_args(argv=None):
     ap.add_argument("--bag-right-topic", default="/davis/right/events")
     ap.add_argument("--bag-gt-topic", default=None,
                     help="geometry_msgs/PoseStamped ground-truth topic")
-    ap.add_argument("--calib", required=True,
+    ap.add_argument("--calib",
                     help="calibration dir holding left.yaml/right.yaml "
-                         "(reference esvo_core/calib/<dataset> format)")
+                         "(reference esvo_core/calib/<dataset> format); "
+                         "optional with --bag when the bag carries "
+                         "camera_info topics")
+    ap.add_argument("--bag-caminfo-left",
+                    default="/davis/left/camera_info")
+    ap.add_argument("--bag-caminfo-right",
+                    default="/davis/right/camera_info")
     ap.add_argument("--preset", help="shipped per-dataset preset name "
                     "(rpg/upenn/hkust/dsec/simulation, see configs/) or a "
                     "path to a native-schema YAML; overridden by the "
@@ -162,7 +168,15 @@ def main(argv=None):
     from esvo_tpu.runtime.system import EsvoSystem, SystemStatus
     from esvo_tpu.eval.trajectory import save_tum, ate_rmse
 
-    rig = load_rig(args.calib)
+    if args.calib:
+        rig = load_rig(args.calib)
+    elif args.bag:
+        from esvo_tpu.io.rosbag import load_rig_from_bag
+        rig = load_rig_from_bag(args.bag, args.bag_caminfo_left,
+                                args.bag_caminfo_right)
+    else:
+        raise SystemExit("--calib is required (or use --bag with "
+                         "camera_info topics)")
     if args.preset and not (args.mapping_yaml or args.tracking_yaml
                             or args.ts_yaml):
         cfg = SystemConfig.from_preset(args.preset)

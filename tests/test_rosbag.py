@@ -48,6 +48,18 @@ def _pose_msg(t, xyz, quat_xyzw) -> bytes:
             + struct.pack("<7d", *xyz, *quat_xyzw))
 
 
+def _camera_info_msg(width, height, model, D, K, R, P) -> bytes:
+    return (struct.pack("<III", 0, 0, 0) + _string("cam")
+            + struct.pack("<II", height, width) + _string(model)
+            + struct.pack("<I", len(D))
+            + np.asarray(D, "<f8").tobytes()
+            + np.asarray(K, "<f8").tobytes()
+            + np.asarray(R, "<f8").tobytes()
+            + np.asarray(P, "<f8").tobytes()
+            + struct.pack("<II", 0, 0)          # binning
+            + struct.pack("<IIII?", 0, 0, 0, 0, False))
+
+
 def _connection(conn: int, topic: str, msg_type: str) -> bytes:
     sub = _field("type", msg_type.encode()) + _field("md5sum", b"x")
     return _record({"op": b"\x07", "conn": struct.pack("<I", conn),
@@ -154,6 +166,33 @@ def test_missing_topic_lists_available(stereo_bag):
     bag = BagReader(path)
     with pytest.raises(KeyError, match="davis/left"):
         bag.events("/nonexistent")
+
+
+def test_rig_from_camera_info(tmp_path):
+    """load_rig_from_bag builds the full rectified rig (LUTs, masks,
+    baseline) from camera_info topics alone."""
+    from esvo_tpu.io.rosbag import load_rig_from_bag
+    W, H, FX, BASE = 240, 180, 150.0, 0.1
+    K = [[FX, 0, W / 2 - 0.5], [0, FX, H / 2 - 0.5], [0, 0, 1]]
+    R = np.eye(3)
+    P_l = [[FX, 0, W / 2 - 0.5, 0], [0, FX, H / 2 - 0.5, 0],
+           [0, 0, 1, 0]]
+    P_r = [[FX, 0, W / 2 - 0.5, -FX * BASE], [0, FX, H / 2 - 0.5, 0],
+           [0, 0, 1, 0]]
+    D = [0.0, 0.0, 0.0, 0.0, 0.0]
+    inner = (
+        _connection(0, "/davis/left/camera_info",
+                    "sensor_msgs/CameraInfo")
+        + _connection(1, "/davis/right/camera_info",
+                      "sensor_msgs/CameraInfo")
+        + _message(0, _camera_info_msg(W, H, "plumb_bob", D, K, R, P_l))
+        + _message(1, _camera_info_msg(W, H, "plumb_bob", D, K, R, P_r)))
+    path = str(tmp_path / "calib.bag")
+    _write_bag(path, [inner])
+    rig = load_rig_from_bag(path)
+    assert rig.left.width == W and rig.left.height == H
+    np.testing.assert_allclose(float(rig.baseline), BASE, rtol=1e-6)
+    assert bool(np.asarray(rig.left.mask).all())  # ideal pinhole: full
 
 
 def test_not_a_bag(tmp_path):
