@@ -85,8 +85,8 @@ def parse_args(argv=None):
     ap.add_argument("--max-events", type=int, default=None,
                     help="cap loaded events (smoke runs)")
     ap.add_argument("--cache", action="store_true",
-                    help="cache parsed rpg txt events as .npz next to the "
-                         "source for instant reload")
+                    help="cache parsed events as .npz next to the source "
+                         "(rpg txt and --bag) for instant reload")
     ap.add_argument("--out", default="trajectory.txt",
                     help="TUM trajectory output path")
     ap.add_argument("--debug-maps",
@@ -144,7 +144,38 @@ def load_events(args):
                                       args.max_events)
         return ev_l, ev_r, None, None
     if args.bag:
+        import os as _os
         from esvo_tpu.io.rosbag import load_stereo_bag
+        if args.cache:
+            from esvo_tpu.io.events import (EventArray, load_events_npz,
+                                            save_events_npz)
+            cl, cr = args.bag + ".left.npz", args.bag + ".right.npz"
+            cg = args.bag + ".gt.npz"
+            fresh = all(
+                _os.path.exists(c)
+                and _os.path.getmtime(c) >= _os.path.getmtime(args.bag)
+                for c in (cl, cr))
+            if fresh:
+                ev_l, ev_r = load_events_npz(cl), load_events_npz(cr)
+                gt_t, gt_T = (None, None)
+                if args.bag_gt_topic and _os.path.exists(cg):
+                    g = np.load(cg)
+                    gt_t, gt_T = g["t"], g["T"]
+            else:
+                ev_l, ev_r, gt_t, gt_T = load_stereo_bag(
+                    args.bag, args.bag_left_topic, args.bag_right_topic,
+                    args.bag_gt_topic)
+                save_events_npz(cl, ev_l)
+                save_events_npz(cr, ev_r)
+                if gt_t is not None:
+                    np.savez(cg, t=gt_t, T=gt_T)
+            if args.max_events is not None:
+                cut = lambda e: EventArray(
+                    t=e.t[:args.max_events], x=e.x[:args.max_events],
+                    y=e.y[:args.max_events], p=e.p[:args.max_events],
+                    t_offset=e.t_offset)
+                ev_l, ev_r = cut(ev_l), cut(ev_r)
+            return ev_l, ev_r, gt_t, gt_T
         return load_stereo_bag(args.bag, args.bag_left_topic,
                                args.bag_right_topic, args.bag_gt_topic,
                                args.max_events)

@@ -229,6 +229,46 @@ def test_run_dataset_from_rosbag(dataset_dir, tmp_path):
     assert result["ate_rmse_m"] < 0.15, result
 
 
+def test_bag_event_cache(tmp_path):
+    """--bag --cache: decoded streams persist as npz and reload
+    identically (incl. the GT topic), with max_events applied after."""
+    import argparse
+    import run_dataset
+    from tests.test_rosbag import (_write_bag, _connection, _message,
+                                   _event_array_msg, _pose_msg)
+    rng = np.random.default_rng(1)
+    n = 300
+    t = np.sort(1e9 + rng.uniform(0, 1, n))
+    inner = (_connection(0, "/davis/left/events", "dvs_msgs/EventArray")
+             + _connection(1, "/davis/right/events",
+                           "dvs_msgs/EventArray")
+             + _connection(2, "/gt", "geometry_msgs/PoseStamped")
+             + _message(0, _event_array_msg(
+                 t, rng.integers(0, 240, n), rng.integers(0, 180, n),
+                 rng.random(n) > 0.5))
+             + _message(1, _event_array_msg(
+                 t + 0.001, rng.integers(0, 240, n),
+                 rng.integers(0, 180, n), rng.random(n) > 0.5))
+             + _message(2, _pose_msg(1e9 + 0.5, (1, 2, 3), (0, 0, 0, 1))))
+    bag = str(tmp_path / "c.bag")
+    _write_bag(bag, [inner], "bz2")
+    args = argparse.Namespace(
+        dataset=None, mvsec=None, dsec=None, bag=bag, cache=True,
+        bag_left_topic="/davis/left/events",
+        bag_right_topic="/davis/right/events", bag_gt_topic="/gt",
+        max_events=None)
+    ev_l1, ev_r1, gt_t1, gt_T1 = run_dataset.load_events(args)
+    assert os.path.exists(bag + ".left.npz")
+    ev_l2, ev_r2, gt_t2, gt_T2 = run_dataset.load_events(args)
+    np.testing.assert_array_equal(ev_l1.t, ev_l2.t)
+    np.testing.assert_array_equal(ev_r1.x, ev_r2.x)
+    np.testing.assert_allclose(gt_t1, gt_t2)
+    np.testing.assert_allclose(gt_T1, gt_T2)
+    args.max_events = 50
+    ev_l3, *_ = run_dataset.load_events(args)
+    assert len(ev_l3) == 50
+
+
 def test_run_dataset_mvstereo_mode(dataset_dir, tmp_path):
     import run_dataset
     out = str(tmp_path / "traj_mv.txt")
