@@ -288,6 +288,114 @@ def load_rig_from_bag(path_or_reader,
                      baseline=jnp.asarray(baseline, dtype))
 
 
+def _w_field(name: str, value: bytes) -> bytes:
+    item = name.encode() + b"=" + value
+    return struct.pack("<I", len(item)) + item
+
+
+def _w_record(fields: dict, data: bytes) -> bytes:
+    hdr = b"".join(_w_field(k, v) for k, v in fields.items())
+    return (struct.pack("<I", len(hdr)) + hdr
+            + struct.pack("<I", len(data)) + data)
+
+
+def _w_string(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack("<I", len(b)) + b
+
+
+def _w_time(t: float) -> bytes:
+    sec = int(t)
+    return struct.pack("<II", sec, int(round((t - sec) * 1e9)))
+
+
+def write_events_bag(path: str, streams: dict, period: float = 1e-3,
+                     height: int = 260, width: int = 346) -> None:
+    """Write a bag v2.0 with fixed-period dvs_msgs/EventArray messages.
+
+    The events_repacking_helper counterpart
+    (EventMessageEditor.cpp:95-121): re-chunks each stream into
+    `period`-second messages (1 ms default = the 1000 Hz rate the
+    reference requires, README.md:235) so downstream ROS consumers see
+    fresh events. streams: topic -> EventArray (absolute or rebased
+    timestamps; written as-is). Uncompressed chunks (~4 MB each)."""
+    inner = []
+    conns = []
+    for conn, (topic, ev) in enumerate(streams.items()):
+        sub = (_w_field("type", b"dvs_msgs/EventArray")
+               + _w_field("md5sum", b"5e8beee5a6c107e504c2e78903c224b8")
+               + _w_field("message_definition", b""))
+        conns.append(_w_record(
+            {"op": b"\x07", "conn": struct.pack("<I", conn),
+             "topic": topic.encode()}, sub))
+        if len(ev.t) == 0:
+            continue
+        t = np.asarray(ev.t, np.float64)
+        edges = np.arange(t[0], t[-1] + period, period)
+        bounds = np.searchsorted(t, edges, side="left")
+        msgs = []
+        for i in range(len(edges) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            if hi <= lo:
+                continue
+            sec = t[lo:hi].astype(np.int64)
+            nsec = np.round((t[lo:hi] - sec) * 1e9).astype(np.int64)
+            arr = np.empty(hi - lo, dtype=_EVENT_DTYPE)
+            arr["x"] = ev.x[lo:hi]
+            arr["y"] = ev.y[lo:hi]
+            arr["sec"] = sec
+            arr["nsec"] = nsec
+            arr["p"] = np.asarray(ev.p[lo:hi], np.uint8)
+            payload = (struct.pack("<I", i) + _w_time(float(t[lo]))
+                       + _w_string("davis")
+                       + struct.pack("<II", height, width)
+                       + struct.pack("<I", hi - lo) + arr.tobytes())
+            msgs.append(_w_record(
+                {"op": b"\x02", "conn": struct.pack("<I", conn),
+                 "time": _w_time(float(t[lo]))}, payload))
+        inner.append((conn, msgs))
+
+    with open(path, "wb") as f:
+        f.write(b"#ROSBAG V2.0\n")
+        f.write(_w_record(
+            {"op": b"\x03", "index_pos": struct.pack("<Q", 0),
+             "conn_count": struct.pack("<I", len(streams)),
+             "chunk_count": struct.pack("<I", 1)}, b"\x00" * 4096))
+        chunk = b"".join(conns)
+        budget = 4 << 20
+        pending = []
+        size = len(chunk)
+
+        def flush(buf):
+            f.write(_w_record({"op": b"\x05", "compression": b"none",
+                               "size": struct.pack("<I", len(buf))}, buf))
+
+        for _, msgs in inner:
+            for m in msgs:
+                pending.append(m)
+                size += len(m)
+                if size >= budget:
+                    flush(chunk + b"".join(pending))
+                    chunk, pending, size = b"", [], 0
+        if chunk or pending:
+            flush(chunk + b"".join(pending))
+
+
+def hot_pixel_mask(ev: EventArray, height: int, width: int,
+                   sigma: float = 5.0) -> np.ndarray:
+    """Per-event keep-mask removing hot pixels: pixels whose event count
+    exceeds mean + sigma*std of the occupied-pixel counts (the
+    events_repacking_helper README workflow step 2)."""
+    idx = np.asarray(ev.y, np.int64) * width + np.asarray(ev.x, np.int64)
+    counts = np.bincount(idx, minlength=height * width)
+    occ = counts[counts > 0]
+    if len(occ) == 0:
+        return np.ones(len(ev.t), bool)
+    thr = occ.mean() + sigma * occ.std()
+    hot = counts > thr
+    return ~hot[idx]
+
+
 def load_stereo_bag(path: str,
                     left_topic: str = "/davis/left/events",
                     right_topic: str = "/davis/right/events",

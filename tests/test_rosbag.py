@@ -195,6 +195,74 @@ def test_rig_from_camera_info(tmp_path):
     assert bool(np.asarray(rig.left.mask).all())  # ideal pinhole: full
 
 
+def test_write_roundtrip_and_repack(tmp_path):
+    """write_events_bag output reads back identically, messages are
+    fixed-period, and the repack CLI filters hot pixels."""
+    from esvo_tpu.io.events import EventArray
+    from esvo_tpu.io.rosbag import write_events_bag, hot_pixel_mask
+    rng = np.random.default_rng(2)
+    n = 5000
+    t = np.sort(1000.0 + rng.uniform(0, 0.05, n))
+    ev = EventArray(t=t, x=rng.integers(0, 346, n).astype(np.int32),
+                    y=rng.integers(0, 260, n).astype(np.int32),
+                    p=rng.random(n) > 0.5)
+    path = str(tmp_path / "out.bag")
+    write_events_bag(path, {"/davis/left/events": ev}, period=1e-3)
+    bag = BagReader(path)
+    back = bag.events("/davis/left/events")
+    np.testing.assert_allclose(back.t, ev.t, atol=2e-9)
+    np.testing.assert_array_equal(back.x, ev.x)
+    np.testing.assert_array_equal(back.p, ev.p)
+    # fixed-period chunking: ~50 ms span / 1 ms -> ~50 messages
+    assert 40 <= bag.topics["/davis/left/events"] <= 60
+
+    # hot-pixel filter: a pixel firing 500x stands out
+    hx, hy = 100, 50
+    ev_hot = EventArray(
+        t=np.sort(np.concatenate([t, 1000.0 + rng.uniform(0, 0.05, 500)])),
+        x=np.concatenate([ev.x, np.full(500, hx, np.int32)]),
+        y=np.concatenate([ev.y, np.full(500, hy, np.int32)]),
+        p=np.concatenate([ev.p, np.ones(500, bool)]))
+    keep = hot_pixel_mask(ev_hot, 260, 346)
+    dropped_px = set(zip(ev_hot.x[~keep].tolist(),
+                         ev_hot.y[~keep].tolist()))
+    assert (hx, hy) in dropped_px and len(dropped_px) <= 3
+    assert keep.sum() >= n - 50
+
+
+def test_repack_cli(tmp_path):
+    import importlib.util
+    import os as _os
+    spec = importlib.util.spec_from_file_location(
+        "repack_bag", _os.path.join(_os.path.dirname(__file__), "..",
+                                    "scripts", "repack_bag.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rng = np.random.default_rng(3)
+    n = 400
+    t0 = 500.0
+    tl = np.sort(t0 + rng.uniform(0, 0.02, n))
+    inner = (_connection(0, "/davis/left/events", "dvs_msgs/EventArray")
+             + _connection(1, "/davis/right/events",
+                           "dvs_msgs/EventArray")
+             + _message(0, _event_array_msg(
+                 tl, rng.integers(0, 346, n), rng.integers(0, 260, n),
+                 rng.random(n) > 0.5))
+             + _message(1, _event_array_msg(
+                 tl, rng.integers(0, 346, n), rng.integers(0, 260, n),
+                 rng.random(n) > 0.5)))
+    src = str(tmp_path / "src.bag")
+    dst = str(tmp_path / "dst.bag")
+    _write_bag(src, [inner], "bz2")
+    streams = mod.main([src, dst, "--period-ms", "1",
+                        "--filter-hot-pixels"])
+    out = BagReader(dst)
+    assert out.topics["/davis/left/events"] >= 15
+    back = out.events("/davis/left/events")
+    np.testing.assert_allclose(back.t, streams["/davis/left/events"].t,
+                               atol=2e-9)
+
+
 def test_not_a_bag(tmp_path):
     p = tmp_path / "x.bag"
     p.write_bytes(b"hello world, definitely not a bag")
