@@ -196,5 +196,32 @@ def main():
     }))
 
 
+def _device_alive(timeout_s: float = 180.0) -> bool:
+    """Probe the backend with a watchdog: during a tunnel outage the
+    first device op hangs forever rather than erroring, which would
+    leave the driver with no JSON line at all."""
+    import threading
+    ok = []
+
+    def probe():
+        try:
+            jax.block_until_ready(jnp.ones(8).sum())
+            ok.append(True)
+        except Exception:
+            pass
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    return bool(ok)
+
+
 if __name__ == "__main__":
+    if not _device_alive():
+        print(json.dumps({
+            "metric": "mapping_events_per_sec", "value": 0,
+            "unit": "events/s", "vs_baseline": 0.0,
+            "error": "device backend unreachable (tunnel outage); "
+                     "last recorded: 336k ev/s (16.8x), see README"}))
+        raise SystemExit(0)
     main()
