@@ -42,6 +42,14 @@ class FusionConfig:
     ls_norm: str = struct.field(pytree_node=False, default="Tdist")
     fusion_radius: int = struct.field(pytree_node=False, default=0)
     max_candidates_per_pixel: int = struct.field(pytree_node=False, default=8)
+    # How the best-K-per-pixel candidate slots are assigned:
+    #   "sort"        — one 2-key lexicographic sort over all M tiled
+    #                   candidates + segment ranks (O(M log^2 M) sorting
+    #                   network on TPU);
+    #   "scatter_min" — K rounds of (value, index) scatter-min per pixel
+    #                   (2 scatters + 2 gathers of M per round).  Bitwise
+    #                   the same slots; O(K*M) HBM traffic, no sort.
+    slot_strategy: str = struct.field(pytree_node=False, default="sort")
 
 
 @struct.dataclass
@@ -188,6 +196,59 @@ def _segment_rank(sorted_ids: jax.Array) -> jax.Array:
     return ar - seg_start
 
 
+def _assign_slots_sort(pix, valid, val_key, hw, K):
+    """Slot id per candidate (rank*hw + pix, or hw*K = dropped) via ONE
+    2-key lexicographic sort (jax.lax.sort num_keys=2; stable, so ties
+    in (pixel, value) break by original index)."""
+    M = pix.shape[0]
+    vk = jnp.where(valid, val_key, jnp.inf)
+    pk = jnp.where(valid, pix, hw)                      # invalid last
+    ar = jnp.arange(M, dtype=jnp.int32)
+    pix_sorted, _, order = jax.lax.sort((pk, vk, ar), num_keys=2)
+    rank = _segment_rank(pix_sorted)
+    keep = (pix_sorted < hw) & (rank < K)
+    slot_sorted = jnp.where(keep, rank * hw + pix_sorted, hw * K)
+    slot = jnp.zeros((M,), jnp.int32).at[order].set(slot_sorted)
+    num_dropped = jnp.sum((pix_sorted < hw) & (rank >= K))
+    return slot, num_dropped
+
+
+def _assign_slots_scatter_min(pix, valid, val_key, hw, K):
+    """Slot ids via K rounds of per-pixel (value, index) scatter-min.
+
+    Round k selects, for every pixel, the remaining candidate with the
+    lexicographically smallest (val_key, index) — exactly the k-th entry
+    of the "sort" strategy's stable order — without paying a full
+    O(M log^2 M) sorting network; per round: 2 flat scatter-mins + 2
+    flat gathers of M elements.
+    """
+    M = pix.shape[0]
+    ar = jnp.arange(M, dtype=jnp.int32)
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    remaining = valid
+    slot = jnp.full((M,), hw * K, jnp.int32)
+    for k in range(K):
+        v = jnp.where(remaining, val_key, jnp.inf)
+        best = jnp.full((hw,), jnp.inf, val_key.dtype) \
+            .at[pix].min(v, mode="drop")
+        at_best = remaining & (v <= jnp.take(best, pix))
+        idx_c = jnp.where(at_best, ar, big)
+        besti = jnp.full((hw,), big, jnp.int32) \
+            .at[pix].min(idx_c, mode="drop")
+        winner = at_best & (jnp.take(besti, pix) == ar)
+        slot = jnp.where(winner, k * hw + pix, slot)
+        remaining = remaining & ~winner
+    return slot, jnp.sum(remaining)
+
+
+def _assign_slots(pix, valid, val_key, hw, K, strategy):
+    if strategy == "scatter_min":
+        return _assign_slots_scatter_min(pix, valid, val_key, hw, K)
+    if strategy == "sort":
+        return _assign_slots_sort(pix, valid, val_key, hw, K)
+    raise ValueError(f"unknown slot_strategy {strategy!r}")
+
+
 def _student_t_update(invD_a, scale2_a, nu_a, invD_b, scale2_b, nu_b):
     """Student-t posterior of (a <- b) (DepthPoint::update_studentT,
     container/DepthPoint.cpp:167-188). Returns (invD, scale2, nu, var).
@@ -222,51 +283,40 @@ def fuse_frame(grid: DepthGrid, cand: Candidates, camera: Camera,
     H, W = grid.inv_depth.shape
     K = cfg.max_candidates_per_pixel
     tiled, pix = _splat(cand, H, W, cfg.fusion_radius)
-    M = pix.shape[0]
 
-    # order candidates by (pixel, variance) with ONE lexicographic
-    # two-key sort (jax.lax.sort num_keys=2) — two chained argsorts cost
-    # two full sorting networks
-    var_key = jnp.where(tiled.valid, tiled.variance, jnp.inf)
-    pix_key = jnp.where(tiled.valid, pix, H * W)          # invalid last
-    pix_sorted, _, order = jax.lax.sort(
-        (pix_key, var_key, jnp.arange(M, dtype=jnp.int32)), num_keys=2)
-    rank = _segment_rank(pix_sorted)
-    keep = (pix_sorted < H * W) & (rank < K)
-    num_dropped = jnp.sum((pix_sorted < H * W) & (rank >= K))
-
-    # K-major slot index: channel buffers come out as (K, H, W), so the
-    # fold reads dense (H, W) planes with no relayout (a pixel-major
-    # (H, W, K, C) buffer forces either strided plane reads or a
-    # pathological materialized transpose)
-    slot_idx = jnp.where(keep, rank * (H * W) + pix_sorted, H * W * K)
+    # best-K-per-pixel slots in variance-ascending order (strategy:
+    # one lexicographic sort, or K scatter-min rounds — identical slots)
+    slot_idx, num_dropped = _assign_slots(
+        pix, tiled.valid, tiled.variance, H * W, K, cfg.slot_strategy)
     dt = tiled.inv_depth.dtype
 
-    # one independent 1D scatter per channel: a single (C, M) -> slots
-    # scatter composed with the gather-pack makes XLA pick a layout that
-    # serializes the scatter (~21 ns/update, 33 ms at DSEC scale);
-    # per-channel flat scatters with the shared index vector run at
-    # full scatter throughput (~0.05 ms measured for 12 x 131k updates)
+    # K-major slot layout: channel buffers come out as (K, H, W), so the
+    # fold reads dense (H, W) planes with no relayout (a pixel-major
+    # (H, W, K, C) buffer forces either strided plane reads or a
+    # pathological materialized transpose). One independent 1D scatter
+    # per channel: a single (C, M) -> slots scatter composed with a
+    # gather-pack makes XLA pick a layout that serializes the scatter
+    # (~21 ns/update, 33 ms at DSEC scale); per-channel flat scatters
+    # with the shared index vector run at full scatter throughput
+    # (~0.05 ms measured for 12 x 131k updates)
     def scat(src):
         return jnp.zeros((H * W * K,), dt) \
             .at[slot_idx].set(src.astype(dt), mode="drop") \
             .reshape(K, H, W)
 
-    xf = tiled.x.reshape(-1)
-    pf = tiled.p_cam.reshape(-1)
     buf = [
-        scat(tiled.inv_depth[order]),
-        scat(tiled.variance[order]),
-        scat(tiled.scale2[order]),
-        scat(tiled.nu[order]),
-        scat(tiled.residual[order]),
-        scat(tiled.age[order].astype(dt)),
-        scat(jnp.take(xf, order * 2)),
-        scat(jnp.take(xf, order * 2 + 1)),
-        scat(jnp.take(pf, order * 3)),
-        scat(jnp.take(pf, order * 3 + 1)),
-        scat(jnp.take(pf, order * 3 + 2)),
-        scat(tiled.valid[order].astype(dt)),
+        scat(tiled.inv_depth),
+        scat(tiled.variance),
+        scat(tiled.scale2),
+        scat(tiled.nu),
+        scat(tiled.residual),
+        scat(tiled.age.astype(dt)),
+        scat(tiled.x[:, 0]),
+        scat(tiled.x[:, 1]),
+        scat(tiled.p_cam[:, 0]),
+        scat(tiled.p_cam[:, 1]),
+        scat(tiled.p_cam[:, 2]),
+        scat(tiled.valid.astype(dt)),
     ]
 
     P = camera.params.P
@@ -395,15 +445,10 @@ def naive_fuse_frame(grid: DepthGrid, cand: Candidates, camera: Camera,
     H, W = grid.inv_depth.shape
     K = cfg.max_candidates_per_pixel
     tiled, pix = _splat(cand, H, W, 0)
-    M = pix.shape[0]
 
-    res_key = jnp.where(tiled.valid, tiled.residual, jnp.inf)
-    pix_key = jnp.where(tiled.valid, pix, H * W)
-    pix_sorted, _, order = jax.lax.sort(
-        (pix_key, res_key, jnp.arange(M, dtype=jnp.int32)), num_keys=2)
-    rank = _segment_rank(pix_sorted)
-    keep = (pix_sorted < H * W) & (rank < K)
-    slot_idx = jnp.where(keep, rank * (H * W) + pix_sorted, H * W * K)
+    # best-K per pixel in residual-ascending order
+    slot_idx, _ = _assign_slots(
+        pix, tiled.valid, tiled.residual, H * W, K, cfg.slot_strategy)
 
     dt = tiled.inv_depth.dtype
 
@@ -414,16 +459,15 @@ def naive_fuse_frame(grid: DepthGrid, cand: Candidates, camera: Camera,
             .at[slot_idx].set(src.astype(dt), mode="drop") \
             .reshape(K, H, W)
 
-    pf = tiled.p_cam.reshape(-1)
     buf = [
-        scat(tiled.inv_depth[order]),
-        scat(tiled.variance[order]),
-        scat(tiled.residual[order]),
-        scat(tiled.age[order].astype(dt)),
-        scat(jnp.take(pf, order * 3)),
-        scat(jnp.take(pf, order * 3 + 1)),
-        scat(jnp.take(pf, order * 3 + 2)),
-        scat(tiled.valid[order].astype(dt)),
+        scat(tiled.inv_depth),
+        scat(tiled.variance),
+        scat(tiled.residual),
+        scat(tiled.age.astype(dt)),
+        scat(tiled.p_cam[:, 0]),
+        scat(tiled.p_cam[:, 1]),
+        scat(tiled.p_cam[:, 2]),
+        scat(tiled.valid.astype(dt)),
     ]
 
     P = camera.params.P

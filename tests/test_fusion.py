@@ -1,5 +1,6 @@
 """Tests for dense-grid propagation, fusion and regularization."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from esvo_tpu.geometry.camera import make_ideal_rig
@@ -313,3 +314,56 @@ def test_regularize_tdist_no_nu_increment():
     ss = (2.2 + (0.5 - 0.52) ** 2 / 3e-4) / 3.2 * (1e-4 * 2e-4) / 3e-4
     np.testing.assert_allclose(d, dd, rtol=1e-12)
     np.testing.assert_allclose(s2, ss, rtol=1e-12)
+
+
+def _random_candidates(rng, n, dense=False):
+    """Random propagated candidates; dense=True concentrates them on a
+    few pixels so slots overflow (num_dropped > 0)."""
+    hi_x, hi_y = (8.0, 6.0) if dense else (W - 2.0, H - 2.0)
+    xs = np.stack([rng.uniform(0.5, hi_x, n),
+                   rng.uniform(0.5, hi_y, n)], 1)
+    return fu.Candidates(
+        inv_depth=jnp.asarray(rng.uniform(0.2, 2.0, n)),
+        variance=jnp.asarray(rng.uniform(1e-5, 1e-2, n)),
+        scale2=jnp.asarray(rng.uniform(1e-5, 1e-2, n)),
+        nu=jnp.asarray(rng.choice([3.0, 5.0, np.inf], n)),
+        residual=jnp.asarray(rng.uniform(0, 30, n)),
+        age=jnp.asarray(rng.integers(0, 5, n), jnp.int32),
+        x=jnp.asarray(xs),
+        p_cam=jnp.asarray(rng.normal(size=(n, 3)) + [0, 0, 2.0]),
+        valid=jnp.asarray(rng.random(n) > 0.2))
+
+
+def test_slot_strategies_identical():
+    """scatter_min slot assignment must be bitwise identical to the
+    sort-based one, for fuse_frame (variance key, with per-pixel
+    overflow) and naive_fuse_frame (residual key)."""
+    rng = np.random.default_rng(11)
+    r = rig()
+    for dense in (False, True):
+        cand = _random_candidates(rng, 600, dense=dense)
+        for ls_norm in ("Tdist", "l2"):
+            grids, drops = [], []
+            for strat in ("sort", "scatter_min"):
+                cfg = fu.FusionConfig(ls_norm=ls_norm, slot_strategy=strat,
+                                      max_candidates_per_pixel=4)
+                g0 = fu.empty_grid(H, W, jnp.float64)
+                g, nf, nd = fu.fuse_frame(g0, cand, r.left, cfg)
+                grids.append(g)
+                drops.append((int(nf), int(nd)))
+            assert drops[0] == drops[1]
+            if dense:
+                assert drops[0][1] > 0  # overflow actually exercised
+            for a, b in zip(jax.tree_util.tree_leaves(grids[0]),
+                            jax.tree_util.tree_leaves(grids[1])):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        naive = []
+        for strat in ("sort", "scatter_min"):
+            cfg = fu.FusionConfig(slot_strategy=strat,
+                                  max_candidates_per_pixel=4)
+            g0 = fu.empty_grid(H, W, jnp.float64)
+            naive.append(fu.naive_fuse_frame(g0, cand, r.left, cfg))
+        for a, b in zip(jax.tree_util.tree_leaves(naive[0]),
+                        jax.tree_util.tree_leaves(naive[1])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
