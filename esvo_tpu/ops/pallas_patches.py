@@ -44,13 +44,15 @@ def _kernel(uy_ref, ux_ref, img_ref, out_ref, *, h: int, w: int, B: int):
     jax.lax.fori_loop(0, B, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "block"))
+@functools.partial(jax.jit, static_argnames=("h", "w", "block", "interpret"))
 def pallas_slice_patches(img: jax.Array, ul_y: jax.Array, ul_x: jax.Array,
-                         h: int, w: int, block: int = 256) -> jax.Array:
+                         h: int, w: int, block: int = 256,
+                         interpret: bool = False) -> jax.Array:
     """(N,) int32 upper-left corners -> (N, h, w) windows.
 
     Starts are clamped like lax.dynamic_slice. N is padded to a multiple
-    of `block` internally.
+    of `block` internally. `interpret=True` runs the kernel in Pallas
+    interpret mode (CPU parity tests).
     """
     H, W = img.shape
     n = ul_y.shape[0]
@@ -77,5 +79,6 @@ def pallas_slice_patches(img: jax.Array, ul_y: jax.Array, ul_x: jax.Array,
         functools.partial(_kernel, h=h, w=w, B=block),
         out_shape=jax.ShapeDtypeStruct((ntot, h, w), img.dtype),
         grid_spec=grid_spec,
+        interpret=interpret,
     )(uy, ux, img)
     return out[:n]
