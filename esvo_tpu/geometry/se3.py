@@ -131,6 +131,97 @@ def slerp(q0: jax.Array, q1: jax.Array, alpha) -> jax.Array:
     return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
 
+def so3_hat(w: jax.Array) -> jax.Array:
+    """(..., 3) -> (..., 3, 3) skew-symmetric cross-product matrices."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zero = jnp.zeros_like(wx)
+    return jnp.stack([
+        jnp.stack([zero, -wz, wy], -1),
+        jnp.stack([wz, zero, -wx], -1),
+        jnp.stack([-wy, wx, zero], -1),
+    ], -2)
+
+
+def _theta_coeffs(th2: jax.Array):
+    """Taylor-safe (A, B, C) = (sin/th, (1-cos)/th^2, (th-sin)/th^3).
+
+    The small-angle branch uses series so the jnp.where never divides by
+    zero in either branch (which would poison forward-mode tangents)."""
+    small = th2 < 1e-8
+    th2s = jnp.where(small, 1.0, th2)        # safe denominator
+    th = jnp.sqrt(th2s)
+    A = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / th)
+    B = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / th2s)
+    C = jnp.where(small, 1.0 / 6.0 - th2 / 120.0, (1.0 - A) / th2s)
+    return A, B, C
+
+
+def so3_exp(w: jax.Array) -> jax.Array:
+    """Rodrigues exponential (..., 3) axis-angle -> (..., 3, 3)."""
+    th2 = jnp.sum(w * w, axis=-1)
+    A, B, _ = _theta_coeffs(th2)
+    K = so3_hat(w)
+    K2 = jnp.matmul(K, K)
+    eye = jnp.eye(3, dtype=w.dtype)
+    return eye + A[..., None, None] * K + B[..., None, None] * K2
+
+
+def so3_log(R: jax.Array) -> jax.Array:
+    """(..., 3, 3) -> (..., 3) axis-angle, |w| in [0, pi].
+
+    Routed through the branch-free quaternion extraction (rot_to_quat
+    pivots on the largest component, so this is stable for all angles
+    including near pi, where the classic (R - R^T) skew formula
+    degenerates)."""
+    q = rot_to_quat(R)                        # (x, y, z, w), w >= 0
+    xyz = q[..., :3]
+    qw = q[..., 3]
+    n2 = jnp.sum(xyz * xyz, axis=-1)
+    small = n2 < 1e-12
+    n = jnp.sqrt(jnp.where(small, 1.0, n2))
+    angle = 2.0 * jnp.arctan2(n, qw)
+    # |w| = angle, axis = xyz / n; small-angle limit 2 * xyz / qw
+    scale = jnp.where(small, 2.0 / jnp.maximum(qw, 1e-12), angle / n)
+    return xyz * scale[..., None]
+
+
+def se3_exp(xi: jax.Array) -> jax.Array:
+    """Twist (..., 6) = (omega, v) -> (..., 4, 4) rigid transform.
+
+    Rotation block exp([omega]x); translation V(omega) v with the left
+    Jacobian V = I + B [w]x + C [w]x^2."""
+    w = xi[..., :3]
+    v = xi[..., 3:]
+    th2 = jnp.sum(w * w, axis=-1)
+    A, B, C = _theta_coeffs(th2)
+    K = so3_hat(w)
+    K2 = jnp.matmul(K, K)
+    eye = jnp.eye(3, dtype=xi.dtype)
+    R = eye + A[..., None, None] * K + B[..., None, None] * K2
+    V = eye + B[..., None, None] * K + C[..., None, None] * K2
+    t = jnp.einsum("...ij,...j->...i", V, v)
+    return se3_matrix(R, t)
+
+
+def se3_log(T: jax.Array) -> jax.Array:
+    """(..., 4, 4) -> twist (..., 6) = (omega, v); inverse of se3_exp."""
+    w = so3_log(T[..., :3, :3])
+    th2 = jnp.sum(w * w, axis=-1)
+    A, B, _ = _theta_coeffs(th2)
+    small = th2 < 1e-8
+    th2s = jnp.where(small, 1.0, th2)
+    # V^-1 = I - 1/2 [w]x + D [w]x^2,  D = (1 - A/(2B)) / th^2
+    # (Taylor: 1/12 + th^2/720 + ...)
+    D = jnp.where(small, 1.0 / 12.0 + th2 / 720.0,
+                  (1.0 - A / (2.0 * B)) / th2s)
+    K = so3_hat(w)
+    K2 = jnp.matmul(K, K)
+    eye = jnp.eye(3, dtype=T.dtype)
+    Vinv = eye - 0.5 * K + D[..., None, None] * K2
+    v = jnp.einsum("...ij,...j->...i", Vinv, T[..., :3, 3])
+    return jnp.concatenate([w, v], axis=-1)
+
+
 def se3_matrix(R: jax.Array, t: jax.Array) -> jax.Array:
     """(..., 3, 3) + (..., 3) -> (..., 4, 4) homogeneous transform."""
     batch = jnp.broadcast_shapes(R.shape[:-2], t.shape[:-1])

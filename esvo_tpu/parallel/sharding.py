@@ -201,3 +201,36 @@ def sharded_ba_normal_equations(mesh: Mesh, cfg: ba.BAConfig):
         in_specs=(P(), P(), P(EVENT_AXIS), P(EVENT_AXIS), P(EVENT_AXIS),
                   P(EVENT_AXIS), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P()), check_vma=False)
+
+
+def sharded_pose_graph(mesh: Mesh, cfg):
+    """Returns fn(PoseGraph-with-edges-padded-to-mesh-size) ->
+    (graph, costs): LM pose-graph optimization with the EDGE axis sharded
+    across the mesh. Poses stay replicated; the (6K, 6K) normal-equation
+    assembly psums the per-shard scatter-adds over ICI and the small
+    dense solve runs replicated (optimize_pose_graph(axis_name=...)).
+    The edge count must be divisible by the mesh size (pad with
+    edge_valid=False slots)."""
+    from esvo_tpu.backend import pose_graph as pg
+
+    def body(T_world, ei, ej, T_ij, w_rot, w_trans, valid):
+        graph = pg.PoseGraph(T_world=T_world, edge_i=ei, edge_j=ej,
+                             T_ij=T_ij, w_rot=w_rot, w_trans=w_trans,
+                             edge_valid=valid)
+        graph, costs = pg.optimize_pose_graph(graph, cfg,
+                                              axis_name=EVENT_AXIS)
+        return graph.T_world, costs
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(EVENT_AXIS), P(EVENT_AXIS), P(EVENT_AXIS),
+                  P(EVENT_AXIS), P(EVENT_AXIS), P(EVENT_AXIS)),
+        out_specs=(P(), P()), check_vma=False)
+
+    def run(graph):
+        T_world, costs = fn(graph.T_world, graph.edge_i, graph.edge_j,
+                            graph.T_ij, graph.w_rot, graph.w_trans,
+                            graph.edge_valid)
+        return graph.replace(T_world=T_world), costs
+
+    return run

@@ -1,0 +1,192 @@
+"""Loop-closure + pose-graph layer over the runtime system.
+
+A new capability beyond the reference (whose trajectory is the tracker's
+raw pose stream, esvo_Tracking.cpp:430-462 — odometry drift is never
+corrected): keyframes sampled from the mapper carry a time-surface
+descriptor (backend.loop_closure); on a detected + geometrically
+verified revisit, the keyframe chain plus all accepted loop edges are
+optimized as an SE(3) pose graph (backend.pose_graph) and the correction
+is folded back into the live system.
+
+Usage:
+    pgl = PoseGraphLoop(system, keyframe_every=5)
+    ...
+    out = system.process_tick(...)
+    pgl.maybe_update(out)        # after each tick
+
+Shapes are bucketed (poses to multiples of 32, edges of 64) so repeat
+optimizations reuse compiled programs.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from esvo_tpu.backend import loop_closure as lc
+from esvo_tpu.backend import pose_graph as pg
+from esvo_tpu.runtime.system import EsvoSystem, SystemStatus
+from esvo_tpu.tracking import registration as reg
+
+
+def _bucket(n: int, m: int) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+class PoseGraphLoop:
+    def __init__(self, system: EsvoSystem, keyframe_every: int = 5,
+                 max_points_per_kf: int = 600,
+                 lc_config: lc.LoopClosureConfig | None = None,
+                 pg_config: pg.PoseGraphConfig | None = None,
+                 reg_config: reg.RegProblemConfig | None = None,
+                 odom_w_rot: float = 100.0, odom_w_trans: float = 100.0):
+        self.system = system
+        self.keyframe_every = keyframe_every
+        self.max_points_per_kf = max_points_per_kf
+        self.lc_cfg = lc_config or lc.LoopClosureConfig()
+        self.pg_cfg = pg_config or pg.PoseGraphConfig(
+            max_iterations=15, huber_threshold=10.0)
+        # verification solver: more LM rounds than the per-tick tracker
+        # (the revisit guess can be further off than one tick of motion)
+        self.reg_cfg = reg_config or reg.RegProblemConfig(
+            batch_size=500, max_iteration=20, huber_threshold=50.0)
+        self.odom_w = (odom_w_rot, odom_w_trans)
+        self.detector = lc.LoopClosureDetector(self.lc_cfg)
+        # keyframes: (time, T_world (4,4) np, p_cam (N,3), valid (N,))
+        # points stored kf-local so optimized poses move them
+        self._kfs: list[tuple] = []
+        self._loop_edges: list[tuple] = []   # (i, j, T_ij (4,4))
+        self._mapping_cycles = 0
+        self._seen_reset = getattr(system, "reset_count", 0)
+        self.num_loop_closures = 0
+        self.num_optimizations = 0
+        self._opt_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    def _sample_keyframe(self):
+        sys = self.system
+        grid = sys.grid
+        occ = np.asarray(grid.occupied)
+        ys, xs = np.nonzero(occ)
+        if len(ys) == 0:
+            return None
+        var = np.asarray(grid.variance)[ys, xs]
+        order = np.argsort(var)[:self.max_points_per_kf]
+        p_cam = np.asarray(grid.p_cam)[ys[order], xs[order]]
+        T = np.asarray(sys.T_world_frame, np.float64)
+        return (sys.last_tick_time, T, p_cam, np.ones(len(order), bool))
+
+    def _jitted_opt(self, K, E):
+        key = (K, E)
+        fn = self._opt_cache.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(pg.optimize_pose_graph,
+                                           cfg=self.pg_cfg))
+            self._opt_cache[key] = fn
+        return fn
+
+    def _optimize(self):
+        """Pose-graph optimization over the keyframe chain + loop edges;
+        fold the newest keyframe's correction into the live system."""
+        K = len(self._kfs)
+        Kp = _bucket(K, 32)
+        Ep = _bucket(K - 1 + len(self._loop_edges), 64)
+        dtype = np.float64 if self.system.dtype == jnp.float64 \
+            else np.float32
+        T = np.stack([np.eye(4)] * Kp).astype(dtype)
+        for k, (t, Tk, *_rest) in enumerate(self._kfs):
+            T[k] = Tk
+        ei = np.zeros(Ep, np.int32)
+        ej = np.zeros(Ep, np.int32)
+        T_ij = np.stack([np.eye(4)] * Ep).astype(dtype)
+        w_rot = np.zeros(Ep, dtype)
+        w_trans = np.zeros(Ep, dtype)
+        valid = np.zeros(Ep, bool)
+        for k in range(K - 1):
+            ei[k], ej[k] = k, k + 1
+            T_ij[k] = np.linalg.inv(T[k]) @ T[k + 1]
+            w_rot[k], w_trans[k] = self.odom_w
+            valid[k] = True
+        for n, (i, j, Tij) in enumerate(self._loop_edges):
+            s = K - 1 + n
+            ei[s], ej[s] = i, j
+            T_ij[s] = Tij
+            w_rot[s] = self.lc_cfg.w_rot
+            w_trans[s] = self.lc_cfg.w_trans
+            valid[s] = True
+
+        graph = pg.PoseGraph(
+            T_world=jnp.asarray(T), edge_i=jnp.asarray(ei),
+            edge_j=jnp.asarray(ej), T_ij=jnp.asarray(T_ij),
+            w_rot=jnp.asarray(w_rot), w_trans=jnp.asarray(w_trans),
+            edge_valid=jnp.asarray(valid))
+        graph, costs = self._jitted_opt(Kp, Ep)(graph)
+        self.num_optimizations += 1
+
+        T_opt = np.asarray(graph.T_world, np.float64)
+        T_old_last = self._kfs[-1][1]
+        corr = T_opt[K - 1] @ np.linalg.inv(T_old_last)
+        self.system.apply_world_correction(corr)
+        self._kfs = [(t, T_opt[k], p, ok)
+                     for k, (t, _, p, ok) in enumerate(self._kfs)]
+        c = np.asarray(costs)
+        return {"pg_cost_initial": float(c[0]),
+                "pg_cost_final": float(c[-1]),
+                "pg_num_poses": K,
+                "pg_num_loop_edges": len(self._loop_edges)}
+
+    # ------------------------------------------------------------------
+    def maybe_update(self, tick_out: dict) -> dict | None:
+        """Call after each tick; on keyframe cadence queries the
+        loop-closure database and optimizes when a loop verifies.
+        Returns a stats dict when anything happened."""
+        sys = self.system
+        if getattr(sys, "reset_count", 0) != self._seen_reset:
+            self._seen_reset = sys.reset_count
+            self._kfs = []
+            self._loop_edges = []
+            self._mapping_cycles = 0
+            self.detector = lc.LoopClosureDetector(self.lc_cfg)
+        if sys.status != SystemStatus.WORKING \
+                or not ("bm_stats" in tick_out or "sgm_points" in tick_out):
+            return None
+        self._mapping_cycles += 1
+        if self._mapping_cycles % self.keyframe_every != 0:
+            return None
+        ts_l = tick_out.get("ts_left")
+        if ts_l is None:
+            return None
+        kf = self._sample_keyframe()
+        if kf is None:
+            return None
+
+        # query BEFORE adding the current surface
+        cand, sim = self.detector.query(ts_l)
+        stats = {"lc_candidate": cand, "lc_similarity": sim}
+        accepted = False
+        if cand >= 0 and sim >= self.lc_cfg.min_similarity \
+                and cand < len(self._kfs):
+            t_c, T_c, p_cam_c, ok_c = self._kfs[cand]
+            pts_world = p_cam_c @ T_c[:3, :3].T + T_c[:3, 3]
+            accepted, T_cur_corr, rms = lc.verify_loop(
+                jnp.asarray(pts_world), jnp.asarray(ok_c), ts_l,
+                T_c, sys.rig.left, self.reg_cfg, self.lc_cfg)
+            stats["lc_verify_rms"] = rms
+        self.detector.add(ts_l)
+        self._kfs.append(kf)
+
+        if accepted:
+            T_edge = np.linalg.inv(T_c) @ T_cur_corr
+            self._loop_edges.append((cand, len(self._kfs) - 1, T_edge))
+            self.num_loop_closures += 1
+            stats.update(self._optimize())
+        return stats
+
+    def optimized_trajectory(self):
+        """(times (K,), T_world (K, 4, 4)) of the keyframe chain."""
+        if not self._kfs:
+            return np.zeros(0), np.zeros((0, 4, 4))
+        return (np.asarray([k[0] for k in self._kfs]),
+                np.stack([k[1] for k in self._kfs]))

@@ -231,3 +231,40 @@ def test_sharded_system_closed_loop(mesh):
     ate = ate_rmse(t_est, T_est, t_est, gt, align=True)
     print(f"sharded closed-loop ATE RMSE: {ate:.4f} m")
     assert ate < 0.08, f"ATE {ate}"
+
+
+def test_sharded_pose_graph_matches_serial(mesh):
+    """Edge-sharded pose-graph LM == serial (up to f32 psum ordering)."""
+    from esvo_tpu.backend import pose_graph as pg
+    from tests.test_pose_graph import noisy_circle_graph
+
+    rng = np.random.default_rng(12)
+    # 24 poses -> 23 odometry edges; pad edge slots to a mesh multiple
+    graph, gt, est = noisy_circle_graph(rng, K=24, loop_slots=1)
+    E = graph.edge_i.shape[0]
+    pad = (-E) % N_DEV
+    if pad:
+        z4 = jnp.broadcast_to(jnp.eye(4, dtype=graph.T_ij.dtype),
+                              (pad, 4, 4))
+        graph = graph.replace(
+            edge_i=jnp.pad(graph.edge_i, (0, pad)),
+            edge_j=jnp.pad(graph.edge_j, (0, pad)),
+            T_ij=jnp.concatenate([graph.T_ij, z4]),
+            w_rot=jnp.pad(graph.w_rot, (0, pad)),
+            w_trans=jnp.pad(graph.w_trans, (0, pad)),
+            edge_valid=jnp.pad(graph.edge_valid, (0, pad)))
+    # loop edge in the reserved slot (pre-padding index E-1)
+    rel = np.linalg.inv(gt[-1]) @ gt[0]
+    graph = pg.add_edge(graph, E - 1, graph.T_world.shape[0] - 1, 0,
+                        rel, w_rot=400.0, w_trans=400.0)
+
+    cfg = pg.PoseGraphConfig(max_iterations=10)
+    serial, serial_costs = pg.optimize_pose_graph(graph, cfg)
+    run = ps.sharded_pose_graph(mesh, cfg)
+    shard, shard_costs = run(graph)
+
+    np.testing.assert_allclose(np.asarray(shard_costs),
+                               np.asarray(serial_costs), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(shard.T_world),
+                               np.asarray(serial.T_world),
+                               rtol=1e-4, atol=1e-6)
