@@ -113,6 +113,13 @@ def parse_args(argv=None):
                          "over the first N jax devices "
                          "(EsvoSystem(mesh=...); PROCESS_EVENT_NUM must be "
                          "divisible by N)")
+    ap.add_argument("--loop-closure", action="store_true",
+                    help="enable the loop-closure + pose-graph backend "
+                         "(keyframe TS descriptors, verified revisits, "
+                         "SE(3) pose-graph drift correction)")
+    ap.add_argument("--loop-every", type=int, default=5,
+                    help="keyframe cadence (mapping cycles) for the "
+                         "loop-closure database")
     ap.add_argument("--ba", action="store_true",
                     help="run the sliding-window bundle-adjustment "
                          "backend (a capability beyond the reference)")
@@ -231,6 +238,10 @@ def main(argv=None):
         from esvo_tpu.runtime.backend_loop import BackendLoop
         backend = BackendLoop(system, keyframe_every=args.ba_every,
                               window=args.ba_window, mesh=mesh)
+    pose_graph = None
+    if args.loop_closure:
+        from esvo_tpu.runtime.pose_graph_loop import PoseGraphLoop
+        pose_graph = PoseGraphLoop(system, keyframe_every=args.loop_every)
 
     tick_rate = args.tick_rate_hz or cfg.tracking.tracking_rate_hz
     tick = 1.0 / tick_rate
@@ -307,6 +318,13 @@ def main(argv=None):
         t_sync = sync_times[min(k + step - 1, len(sync_times) - 1)]
         if backend is not None:
             backend.maybe_update(out)
+        if pose_graph is not None:
+            pg_stats = pose_graph.maybe_update(out)
+            if pg_stats and not args.quiet \
+                    and "pg_cost_final" in pg_stats:
+                print(f"  loop closure: kf {pg_stats['lc_candidate']} "
+                      f"sim={pg_stats['lc_similarity']:.3f} "
+                      f"edges={pg_stats['pg_num_loop_edges']}")
         if args.debug_maps and "maps" in out:
             _dump_maps(args.debug_maps, k, out["maps"])
         if args.save_depth_maps and ("bm_stats" in out
@@ -344,6 +362,8 @@ def main(argv=None):
               "stats": system.stats}
     if backend is not None:
         result["ba_runs"] = backend.num_ba_runs
+    if pose_graph is not None:
+        result["loop_closures"] = pose_graph.num_loop_closures
     if gt_times is not None and args.mode == "closed":
         t_est, T_est = system.trajectory()
         ate = ate_rmse(t_est, T_est, gt_times, gt_poses, align=True)
