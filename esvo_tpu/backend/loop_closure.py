@@ -67,17 +67,30 @@ class LoopClosureDetector:
         self._D = jnp.zeros((cfg.capacity, dim), jnp.float32)
         self.count = 0
 
-    def add(self, ts: jax.Array) -> int:
-        """Register a keyframe's time surface; returns its index."""
+    def add_descriptor(self, d: jax.Array) -> int:
+        """Register a precomputed descriptor; returns its index."""
         if self.count >= self.cfg.capacity:
-            raise RuntimeError("loop-closure database full")
-        d = ts_descriptor(ts, self.cfg.desc_grid)
+            raise RuntimeError(
+                "loop-closure database full — call drop_oldest() first")
         self._D = self._D.at[self.count].set(d)
         self.count += 1
         return self.count - 1
 
-    def query(self, ts: jax.Array) -> tuple[int, float]:
-        """Best temporally-distant match for the CURRENT surface.
+    def add(self, ts: jax.Array) -> int:
+        """Register a keyframe's time surface; returns its index."""
+        return self.add_descriptor(ts_descriptor(ts, self.cfg.desc_grid))
+
+    def drop_oldest(self, n: int) -> None:
+        """Evict the n oldest keyframes (callers must remap their own
+        keyframe indices by -n)."""
+        n = min(n, self.count)
+        dim = self._D.shape[1]
+        self._D = jnp.concatenate(
+            [self._D[n:], jnp.zeros((n, dim), self._D.dtype)])
+        self.count -= n
+
+    def query_descriptor(self, d: jax.Array) -> tuple[int, float]:
+        """Best temporally-distant match for a precomputed descriptor.
 
         Returns (keyframe index, cosine similarity); index -1 when no
         keyframe clears the temporal gap. Call before add()ing the
@@ -85,12 +98,14 @@ class LoopClosureDetector:
         hi = self.count - self.cfg.min_gap
         if hi <= 0:
             return -1, 0.0
-        d = ts_descriptor(ts, self.cfg.desc_grid)
         sims = self._D @ d                       # (capacity,)
         mask = jnp.arange(self.cfg.capacity) < hi
         sims = jnp.where(mask, sims, -jnp.inf)
         idx = int(jnp.argmax(sims))
         return idx, float(sims[idx])
+
+    def query(self, ts: jax.Array) -> tuple[int, float]:
+        return self.query_descriptor(ts_descriptor(ts, self.cfg.desc_grid))
 
 
 def verify_loop(points_world: jax.Array, point_valid: jax.Array,

@@ -71,14 +71,32 @@ def edge_residuals_and_jacobians(graph: PoseGraph):
     """(E, 6) weighted residuals + (E, 6, 12) Jacobians w.r.t. the two
     incident twists, evaluated at xi = 0 (batched jacfwd)."""
     T_ij_inv = se3_inverse(graph.T_ij)
-    sqw = jnp.stack([graph.w_rot] * 3 + [graph.w_trans] * 3, axis=-1)
-    sqw = jnp.sqrt(jnp.where(graph.edge_valid[:, None], sqw, 0.0))
+    sqw = _edge_sqw(graph)
     T_i = graph.T_world[graph.edge_i]
     T_j = graph.T_world[graph.edge_j]
     zero = jnp.zeros((graph.edge_i.shape[0], 12), graph.T_world.dtype)
     r = jax.vmap(_edge_residual)(zero, T_i, T_j, T_ij_inv, sqw)
     J = jax.vmap(jax.jacfwd(_edge_residual))(zero, T_i, T_j, T_ij_inv, sqw)
     return r, J
+
+
+def _edge_sqw(graph: PoseGraph):
+    """(E, 6) per-component sqrt information weights, zero for invalid
+    edges (the single source for residual weighting — the solver's
+    accept test compares costs from _normal_equations and _cost_only,
+    which must stay in lockstep)."""
+    sqw = jnp.stack([graph.w_rot] * 3 + [graph.w_trans] * 3, axis=-1)
+    return jnp.sqrt(jnp.where(graph.edge_valid[:, None], sqw, 0.0))
+
+
+def _robust_weights_and_cost(r, graph: PoseGraph, cfg: PoseGraphConfig,
+                             psum):
+    """Huber IRLS weights on the weighted residual norm + total cost."""
+    rn = jnp.linalg.norm(r, axis=1)
+    w = jnp.where(rn > cfg.huber_threshold,
+                  cfg.huber_threshold / jnp.maximum(rn, 1e-12), 1.0)
+    w = jnp.where(graph.edge_valid, w, 0.0)
+    return w, psum(jnp.sum(w * rn * rn))
 
 
 def _normal_equations(graph: PoseGraph, cfg: PoseGraphConfig,
@@ -89,13 +107,7 @@ def _normal_equations(graph: PoseGraph, cfg: PoseGraphConfig,
     psum = ((lambda x: jax.lax.psum(x, axis_name)) if axis_name
             else (lambda x: x))
     r, J = edge_residuals_and_jacobians(graph)
-
-    # Huber IRLS on the weighted residual norm
-    rn = jnp.linalg.norm(r, axis=1)
-    w = jnp.where(rn > cfg.huber_threshold,
-                  cfg.huber_threshold / jnp.maximum(rn, 1e-12), 1.0)
-    w = jnp.where(graph.edge_valid, w, 0.0)
-    cost = psum(jnp.sum(w * rn * rn))
+    w, cost = _robust_weights_and_cost(r, graph, cfg, psum)
 
     wJ = J * w[:, None, None]
     JtJ = jnp.einsum("eri,erj->eij", wJ, J)      # (E, 12, 12)
@@ -116,19 +128,15 @@ def _normal_equations(graph: PoseGraph, cfg: PoseGraphConfig,
 
 
 def _cost_only(graph: PoseGraph, cfg: PoseGraphConfig, axis_name=None):
-    T_ij_inv = se3_inverse(graph.T_ij)
+    psum = ((lambda x: jax.lax.psum(x, axis_name)) if axis_name
+            else (lambda x: x))
     T_i = graph.T_world[graph.edge_i]
     T_j = graph.T_world[graph.edge_j]
-    sqw = jnp.stack([graph.w_rot] * 3 + [graph.w_trans] * 3, axis=-1)
-    sqw = jnp.sqrt(jnp.where(graph.edge_valid[:, None], sqw, 0.0))
-    r = sqw * se3_log(jnp.matmul(T_ij_inv,
-                                 jnp.matmul(se3_inverse(T_i), T_j)))
-    rn = jnp.linalg.norm(r, axis=1)
-    w = jnp.where(rn > cfg.huber_threshold,
-                  cfg.huber_threshold / jnp.maximum(rn, 1e-12), 1.0)
-    w = jnp.where(graph.edge_valid, w, 0.0)
-    cost = jnp.sum(w * rn * rn)
-    return jax.lax.psum(cost, axis_name) if axis_name else cost
+    r = _edge_sqw(graph) * se3_log(
+        jnp.matmul(se3_inverse(graph.T_ij),
+                   jnp.matmul(se3_inverse(T_i), T_j)))
+    _, cost = _robust_weights_and_cost(r, graph, cfg, psum)
+    return cost
 
 
 def _apply(graph: PoseGraph, dx, cfg: PoseGraphConfig):
@@ -177,7 +185,11 @@ def optimize_pose_graph(graph: PoseGraph,
     (graph, _), costs = jax.lax.scan(
         step, (graph, jnp.asarray(cfg.damping, graph.T_world.dtype)),
         None, length=cfg.max_iterations)
-    return graph, costs
+    # the scan emits the cost ENTERING each iteration; append the cost of
+    # the returned graph so costs[-1] reflects the final accepted state
+    # (history length = max_iterations + 1, costs[0] = initial)
+    final = _cost_only(graph, cfg, axis_name)
+    return graph, jnp.concatenate([costs, final[None]])
 
 
 def odometry_graph(T_world: jax.Array, w_rot: float = 100.0,

@@ -62,7 +62,9 @@ class PoseGraphLoop:
         self._seen_reset = getattr(system, "reset_count", 0)
         self.num_loop_closures = 0
         self.num_optimizations = 0
-        self._opt_cache: dict = {}
+        # jax.jit caches compiled programs per (Kp, Ep) bucket shape
+        self._opt = jax.jit(functools.partial(pg.optimize_pose_graph,
+                                              cfg=self.pg_cfg))
 
     # ------------------------------------------------------------------
     def _sample_keyframe(self):
@@ -78,14 +80,18 @@ class PoseGraphLoop:
         T = np.asarray(sys.T_world_frame, np.float64)
         return (sys.last_tick_time, T, p_cam, np.ones(len(order), bool))
 
-    def _jitted_opt(self, K, E):
-        key = (K, E)
-        fn = self._opt_cache.get(key)
-        if fn is None:
-            fn = jax.jit(functools.partial(pg.optimize_pose_graph,
-                                           cfg=self.pg_cfg))
-            self._opt_cache[key] = fn
-        return fn
+    def _compact(self):
+        """The descriptor database is full: evict the oldest half of the
+        keyframes (loop edges remap; edges into the evicted prefix are
+        dropped — their corrections are already folded into the poses)."""
+        shift = len(self._kfs) // 2
+        if shift == 0:
+            return
+        self._kfs = self._kfs[shift:]
+        self.detector.drop_oldest(shift)
+        self._loop_edges = [(i - shift, j - shift, T)
+                            for (i, j, T) in self._loop_edges
+                            if i >= shift and j >= shift]
 
     def _optimize(self):
         """Pose-graph optimization over the keyframe chain + loop edges;
@@ -122,7 +128,7 @@ class PoseGraphLoop:
             edge_j=jnp.asarray(ej), T_ij=jnp.asarray(T_ij),
             w_rot=jnp.asarray(w_rot), w_trans=jnp.asarray(w_trans),
             edge_valid=jnp.asarray(valid))
-        graph, costs = self._jitted_opt(Kp, Ep)(graph)
+        graph, costs = self._opt(graph)
         self.num_optimizations += 1
 
         T_opt = np.asarray(graph.T_world, np.float64)
@@ -161,9 +167,13 @@ class PoseGraphLoop:
         kf = self._sample_keyframe()
         if kf is None:
             return None
+        if self.detector.count >= self.lc_cfg.capacity:
+            self._compact()
 
-        # query BEFORE adding the current surface
-        cand, sim = self.detector.query(ts_l)
+        # query BEFORE adding the current surface (one descriptor
+        # computation shared by query and add)
+        desc = lc.ts_descriptor(ts_l, self.lc_cfg.desc_grid)
+        cand, sim = self.detector.query_descriptor(desc)
         stats = {"lc_candidate": cand, "lc_similarity": sim}
         accepted = False
         if cand >= 0 and sim >= self.lc_cfg.min_similarity \
@@ -174,7 +184,7 @@ class PoseGraphLoop:
                 jnp.asarray(pts_world), jnp.asarray(ok_c), ts_l,
                 T_c, sys.rig.left, self.reg_cfg, self.lc_cfg)
             stats["lc_verify_rms"] = rms
-        self.detector.add(ts_l)
+        self.detector.add_descriptor(desc)
         self._kfs.append(kf)
 
         if accepted:

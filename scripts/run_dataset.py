@@ -364,6 +364,17 @@ def main(argv=None):
         result["ba_runs"] = backend.num_ba_runs
     if pose_graph is not None:
         result["loop_closures"] = pose_graph.num_loop_closures
+        # the pose-graph redistributes drift across the whole keyframe
+        # chain; apply_world_correction only moves the live pose, so the
+        # optimized trajectory is a separate (better) artifact
+        pg_times, pg_T = pose_graph.optimized_trajectory()
+        if len(pg_times):
+            pg_out = args.out + ".pose_graph.txt"
+            save_tum(pg_out, pg_times, pg_T)
+            result["pose_graph_trajectory"] = pg_out
+            if gt_times is not None:
+                result["pg_ate_rmse_m"] = float(ate_rmse(
+                    pg_times, pg_T, gt_times, gt_poses, align=True))
     if gt_times is not None and args.mode == "closed":
         t_est, T_est = system.trajectory()
         ate = ate_rmse(t_est, T_est, gt_times, gt_poses, align=True)

@@ -225,3 +225,36 @@ def test_pose_graph_loop_corrects_drift():
     assert len(times) == K + 1
     end_err = np.linalg.norm(T_opt[-1][:3, 3] - gt[K][:3, 3])
     assert end_err < 0.5 * err_uncorrected
+
+
+def test_detector_compaction():
+    """Database-full handling: drop_oldest evicts the prefix, keeps the
+    rest queryable, and PoseGraphLoop._compact remaps loop edges."""
+    cfg = lc.LoopClosureConfig(min_gap=2, capacity=8)
+    det = lc.LoopClosureDetector(cfg)
+    cam = rig().left
+    surfaces = [edge_surface(scene_points(s), np.eye(4), cam)
+                for s in range(8)]
+    for ts in surfaces:
+        det.add(jnp.asarray(ts))
+    assert det.count == 8
+    det.drop_oldest(4)
+    assert det.count == 4
+    # old index 6 is now index 2; querying its surface must find it
+    idx, sim = det.query(jnp.asarray(surfaces[5]))
+    assert idx == 1 and sim > 0.99
+    # adding works again after eviction
+    det.add(jnp.asarray(surfaces[0]))
+    assert det.count == 5
+
+    # PoseGraphLoop edge remapping
+    from esvo_tpu.runtime.pose_graph_loop import PoseGraphLoop
+    sysf = _FakeSystem(rig(), None)
+    pgl = PoseGraphLoop(sysf, lc_config=cfg)
+    pgl._kfs = [(float(k), np.eye(4), None, None) for k in range(8)]
+    pgl.detector = det  # count=5 after the adds above
+    pgl._loop_edges = [(0, 6, np.eye(4)), (5, 7, np.eye(4))]
+    pgl._compact()
+    assert len(pgl._kfs) == 4
+    assert len(pgl._loop_edges) == 1
+    assert pgl._loop_edges[0][:2] == (1, 3)
