@@ -17,10 +17,13 @@ from esvo_tpu.backend.loop_closure import (
     LoopClosureDetector,
     ts_descriptor,
     verify_loop,
+    verify_loop_icp,
+    icp_align,
 )
 
 __all__ = ["BAProblem", "BAConfig", "bundle_adjust",
            "reprojection_residuals", "KeyframeGraph", "build_ba_problem",
            "PoseGraph", "PoseGraphConfig", "optimize_pose_graph",
            "odometry_graph", "add_edge", "LoopClosureConfig",
-           "LoopClosureDetector", "ts_descriptor", "verify_loop"]
+           "LoopClosureDetector", "ts_descriptor", "verify_loop",
+           "verify_loop_icp", "icp_align"]

@@ -4,16 +4,21 @@ A new capability beyond the reference (whose odometry drifts freely —
 SURVEY.md section 5 lists no backend): keyframes carry a compact global
 descriptor of their left time surface; revisits are detected by cosine
 similarity against the keyframe database (one matmul on the MXU), gated
-temporally, and verified geometrically by registering the candidate
-keyframe's map points to the current time surface with the existing
-tracking solver (tracking.registration). An accepted loop yields a
-relative-pose edge for backend.pose_graph.
+temporally, and verified geometrically. The default verification aligns
+the candidate and current keyframes' local 3D clouds with a fixed-trip
+masked ICP (icp_align / verify_loop_icp) — registering stale map points
+against the CURRENT time surface (verify_loop, also provided) fails
+across long gaps because a time surface only shows recently active
+edges. An accepted loop yields a relative-pose edge for
+backend.pose_graph.
 
 TPU structure: the descriptor is an average-pooled, mean-removed,
 L2-normalized thumbnail (decay- and rate-invariant enough for time
 surfaces, which are already photometry-free); the database is one
 fixed-capacity (cap, dim) device matrix, so a query is a single
-(cap, dim) @ (dim,) product — no trees, no host-side feature matching.
+(cap, dim) @ (dim,) product; the ICP nearest-neighbour search is one
+(N, M) distance matmul per iteration — no trees, no host-side feature
+matching.
 """
 from __future__ import annotations
 
@@ -39,6 +44,17 @@ class LoopClosureConfig:
     # pose is below this (i.e. it lands on a bright edge)
     verify_inlier_threshold: float = 100.0
     verify_min_inlier_fraction: float = 0.6
+    # 3D-3D (ICP) verification of candidate loops — the default path:
+    # staleness-free, unlike registering stale map points against the
+    # current (recently-active-edges-only) time surface
+    icp_max_corr_dist: float = 0.05     # m; correspondence/inlier radius
+    icp_iters: int = 10
+    # two event-camera keyframes of the same place still cover partially
+    # DISJOINT edge subsets (whichever edges fired during each mapping
+    # window), so the inlier gate must tolerate partial overlap
+    # (disjoint-place clouds score < 0.2 on the same gate)
+    icp_min_inlier_fraction: float = 0.30
+    icp_max_mean_dist: float = 0.02     # m; mean inlier residual gate
     # information weights of an accepted loop edge (pose-graph units)
     w_rot: float = 200.0
     w_trans: float = 200.0
@@ -145,3 +161,86 @@ def verify_loop(points_world: jax.Array, point_valid: jax.Array,
     ok = (final_rms < cfg.verify_max_rms
           and inlier_frac >= cfg.verify_min_inlier_fraction)
     return ok, np.asarray(T_est, np.float64), final_rms
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def icp_align(pts_a: jax.Array, valid_a: jax.Array, pts_b: jax.Array,
+              valid_b: jax.Array, T_ab0: jax.Array,
+              max_corr_dist: float, iters: int = 10):
+    """Point-to-point ICP: estimate T_ab with p_a ~ T_ab p_b.
+
+    Verifying a loop by registering map points against the CURRENT time
+    surface fails across long gaps — a time surface only shows edges
+    active in the last few decay constants, so stale (perfectly valid)
+    map points land on dark pixels and the solve slides. The two
+    keyframes' 3D clouds have no such staleness: align them directly.
+
+    TPU structure: the nearest-neighbour search each iteration is one
+    (N, M) distance matrix via a single matmul (MXU); the pose update is
+    a weighted Kabsch fit (3x3 SVD). Fixed trip count, masked
+    correspondences — no data-dependent shapes.
+
+    Returns (T_ab (4, 4), inlier_fraction, mean_inlier_dist).
+    """
+    dt = pts_a.dtype
+    T0 = T_ab0.astype(dt)
+    a2 = jnp.sum(pts_a * pts_a, axis=1)
+    big = jnp.asarray(1e30, dt)
+
+    def nn(pb_t):
+        """For each valid b point (transformed), nearest valid a point."""
+        b2 = jnp.sum(pb_t * pb_t, axis=1)
+        d2 = a2[:, None] + b2[None, :] - 2.0 * (pts_a @ pb_t.T)  # (N, M)
+        d2 = jnp.where(valid_a[:, None], d2, big)
+        idx = jnp.argmin(d2, axis=0)                             # (M,)
+        d = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=0), 0.0))
+        return idx, d
+
+    def body(T, _):
+        pb_t = pts_b @ T[:3, :3].T + T[:3, 3]
+        idx, d = nn(pb_t)
+        w = (valid_b & (d < max_corr_dist)).astype(dt)
+        wsum = jnp.maximum(jnp.sum(w), 1e-6)
+        tgt = pts_a[idx]                                  # (M, 3)
+        ca = jnp.sum(w[:, None] * tgt, axis=0) / wsum
+        cb = jnp.sum(w[:, None] * pb_t, axis=0) / wsum
+        Hm = jnp.einsum("m,mi,mj->ij", w, pb_t - cb, tgt - ca) / wsum
+        U, _, Vt = jnp.linalg.svd(Hm)
+        det = jnp.linalg.det(Vt.T @ U.T)
+        S = jnp.diag(jnp.asarray([1.0, 1.0, 1.0], dt)).at[2, 2].set(det)
+        R = Vt.T @ S @ U.T                                # b->a increment
+        t = ca - R @ cb
+        T_new = jnp.eye(4, dtype=dt).at[:3, :3].set(R).at[:3, 3].set(t)
+        return T_new @ T, None
+
+    T, _ = jax.lax.scan(body, T0, None, length=iters)
+    pb_t = pts_b @ T[:3, :3].T + T[:3, 3]
+    _, d = nn(pb_t)
+    inl = valid_b & (d < max_corr_dist)
+    n_b = jnp.maximum(jnp.sum(valid_b), 1)
+    frac = jnp.sum(inl) / n_b.astype(dt)
+    mean_d = jnp.sum(jnp.where(inl, d, 0.0)) \
+        / jnp.maximum(jnp.sum(inl), 1).astype(dt)
+    return T, frac, mean_d
+
+
+def verify_loop_icp(p_cand: jax.Array, valid_cand: jax.Array,
+                    p_cur: jax.Array, valid_cur: jax.Array,
+                    T_world_cand, T_world_cur_est,
+                    cfg: LoopClosureConfig):
+    """Geometric loop verification by aligning the candidate and current
+    keyframes' local 3D clouds (see icp_align).
+
+    p_cand/p_cur: (N, 3)/(M, 3) points in each keyframe's CAMERA frame.
+    Returns (accepted, T_edge (4, 4), inlier_fraction, mean_dist) with
+    T_edge = T_cand^-1 T_cur such that p_cand = T_edge p_cur."""
+    Ta = np.asarray(T_world_cand, np.float64)
+    Tb = np.asarray(T_world_cur_est, np.float64)
+    T0 = jnp.asarray(np.linalg.inv(Ta) @ Tb, p_cand.dtype)
+    T, frac, mean_d = icp_align(p_cand, valid_cand, p_cur, valid_cur, T0,
+                                cfg.icp_max_corr_dist, cfg.icp_iters)
+    frac = float(frac)
+    mean_d = float(mean_d)
+    ok = (frac >= cfg.icp_min_inlier_fraction
+          and mean_d <= cfg.icp_max_mean_dist)
+    return ok, np.asarray(T, np.float64), frac, mean_d

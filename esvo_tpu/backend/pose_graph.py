@@ -162,13 +162,19 @@ def optimize_pose_graph(graph: PoseGraph,
     K = graph.T_world.shape[0]
     fixed_rows = jnp.repeat(jnp.arange(K) < cfg.num_fixed_poses, 6)
 
+    dt = graph.T_world.dtype
+
     def step(carry, _):
         graph, lam = carry
         H, g, cost = _normal_equations(graph, cfg, axis_name)
-        # LM damping + gauge prior on the fixed poses
-        H = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6 * K)
-        H = jnp.where(fixed_rows[:, None] | fixed_rows[None, :], 0.0, H)
-        H = H + jnp.diag(jnp.where(fixed_rows, 1.0, 0.0))
+        # LM damping + gauge prior on the fixed poses (eye/diag pinned to
+        # the graph dtype — default-f64 constants under jax_enable_x64
+        # would promote a float32 graph and break the scan carry)
+        H = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6 * K,
+                                                              dtype=dt)
+        H = jnp.where(fixed_rows[:, None] | fixed_rows[None, :],
+                      jnp.zeros((), dt), H)
+        H = H + jnp.diag(jnp.where(fixed_rows, 1.0, 0.0).astype(dt))
         g = jnp.where(fixed_rows, 0.0, g)
         dx = -jnp.linalg.solve(H, g)
         trial = _apply(graph, dx, cfg)

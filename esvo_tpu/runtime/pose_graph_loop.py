@@ -178,17 +178,22 @@ class PoseGraphLoop:
         accepted = False
         if cand >= 0 and sim >= self.lc_cfg.min_similarity \
                 and cand < len(self._kfs):
+            # 3D-3D verification: align the candidate and current
+            # keyframes' local clouds (time-surface registration fails
+            # across long gaps — stale map points land on dark pixels
+            # of the recently-active-edges-only current surface)
             t_c, T_c, p_cam_c, ok_c = self._kfs[cand]
-            pts_world = p_cam_c @ T_c[:3, :3].T + T_c[:3, 3]
-            accepted, T_cur_corr, rms = lc.verify_loop(
-                jnp.asarray(pts_world), jnp.asarray(ok_c), ts_l,
-                T_c, sys.rig.left, self.reg_cfg, self.lc_cfg)
-            stats["lc_verify_rms"] = rms
+            t_n, T_n, p_cam_n, ok_n = kf
+            accepted, T_edge, frac, mean_d = lc.verify_loop_icp(
+                jnp.asarray(p_cam_c), jnp.asarray(ok_c),
+                jnp.asarray(p_cam_n), jnp.asarray(ok_n),
+                T_c, T_n, self.lc_cfg)
+            stats["lc_inlier_fraction"] = frac
+            stats["lc_mean_dist"] = mean_d
         self.detector.add_descriptor(desc)
         self._kfs.append(kf)
 
         if accepted:
-            T_edge = np.linalg.inv(T_c) @ T_cur_corr
             self._loop_edges.append((cand, len(self._kfs) - 1, T_edge))
             self.num_loop_closures += 1
             stats.update(self._optimize())

@@ -258,3 +258,45 @@ def test_detector_compaction():
     assert len(pgl._kfs) == 4
     assert len(pgl._loop_edges) == 1
     assert pgl._loop_edges[0][:2] == (1, 3)
+
+
+def test_icp_align_recovers_transform():
+    """icp_align recovers a known relative transform between two noisy,
+    partially overlapping views of the same cloud."""
+    rng = np.random.default_rng(4)
+    pts_w = volume_points(4, n=800)
+    # view A at identity; view B offset (well beyond the drift scale)
+    xi = jnp.asarray([0.01, -0.008, 0.012, 0.03, -0.02, 0.025])
+    T_b = np.asarray(se3.se3_exp(xi), np.float64)
+    p_a = pts_w.copy()
+    Tinv = np.linalg.inv(T_b)
+    p_b_full = pts_w @ Tinv[:3, :3].T + Tinv[:3, 3]
+    # partial overlap: each view keeps a different random 70% subset,
+    # plus small independent depth-ish noise
+    keep_a = rng.random(len(p_a)) < 0.7
+    keep_b = rng.random(len(p_a)) < 0.7
+    p_a = p_a + rng.normal(0, 0.002, p_a.shape)
+    p_b = p_b_full + rng.normal(0, 0.002, p_b_full.shape)
+
+    # initial guess: drifted estimate (off by ~0.02 m)
+    T0 = np.asarray(se3.se3_exp(jnp.asarray(
+        [0.0, 0.0, 0.004, 0.015, -0.012, 0.008])), np.float64) @ T_b
+    T, frac, mean_d = lc.icp_align(
+        jnp.asarray(p_a), jnp.asarray(keep_a),
+        jnp.asarray(p_b), jnp.asarray(keep_b),
+        jnp.asarray(T0), 0.05, 15)
+    T = np.asarray(T)
+    # T maps B-local points into A-local: compare to the true T_b
+    assert float(frac) > 0.6
+    assert np.linalg.norm(T[:3, 3] - T_b[:3, 3]) < 0.005, T[:3, 3]
+    R_err = np.arccos(np.clip(
+        (np.trace(T[:3, :3] @ T_b[:3, :3].T) - 1) / 2, -1, 1))
+    assert R_err < 0.01
+
+    # disjoint clouds must NOT verify
+    other = volume_points(99, n=800) + np.array([5.0, 0.0, 0.0])
+    ok, _, frac_bad, _ = lc.verify_loop_icp(
+        jnp.asarray(p_a), jnp.asarray(keep_a),
+        jnp.asarray(other), jnp.ones(len(other), bool),
+        np.eye(4), np.eye(4), lc.LoopClosureConfig())
+    assert not ok and frac_bad < 0.2
