@@ -376,11 +376,16 @@ def main(argv=None):
                 result["pg_ate_rmse_m"] = float(ate_rmse(
                     pg_times, pg_T, gt_times, gt_poses, align=True))
     if gt_times is not None and args.mode == "closed":
+        from esvo_tpu.eval.trajectory import rpe_stats
         t_est, T_est = system.trajectory()
         ate = ate_rmse(t_est, T_est, gt_times, gt_poses, align=True)
         result["ate_rmse_m"] = float(ate)
+        rpe_t, rpe_r = rpe_stats(t_est, T_est, gt_times, gt_poses)
+        result["rpe_trans_rmse_m"] = rpe_t
+        result["rpe_rot_rmse_rad"] = rpe_r
         if not args.quiet:
-            print(f"  ATE RMSE vs GT: {ate:.4f} m")
+            print(f"  ATE RMSE vs GT: {ate:.4f} m; "
+                  f"RPE {rpe_t:.4f} m / {rpe_r:.4f} rad per step")
     return result
 
 

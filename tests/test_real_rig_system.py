@@ -54,32 +54,41 @@ def simulate_raw_events(scene, rig, pixel_threshold=0.75):
                                       6), 0)
             idx = np.nonzero(nev > 0)[0]
             if len(idx):
-                # rectified sample positions along each track
-                samples, times = [], []
-                for j in idx:
-                    for e in range(nev[j]):
-                        a = (e + 1) / (nev[j] + 1e-9)
-                        samples.append(last_uv[c][j] + a * d[j])
-                        times.append(t0 + a * (t1 - t0))
-                samples = np.asarray(samples)
-                # rectified -> raw through the lens model
+                # vectorized sample positions along each track: event e of
+                # a track with n events sits at fraction (e+1)/n
+                reps = nev[idx]
+                j_rep = np.repeat(idx, reps)
+                starts = np.cumsum(reps) - reps
+                e_in = np.arange(reps.sum()) - np.repeat(starts, reps)
+                a = (e_in + 1) / (np.repeat(reps, reps) + 1e-9)
+                samples = last_uv[c][j_rep] + a[:, None] * d[j_rep]
+                times = t0 + a * (t1 - t0)
+                # rectified -> raw through the lens model; pad to a
+                # power-of-two bucket so distort_points compiles a
+                # handful of shapes instead of one per step
+                n = len(samples)
+                nb = 1 << (n - 1).bit_length()
+                pad = np.zeros((nb - n, 2))
                 raw = np.asarray(distort_points(
-                    cams[c].params, jnp.asarray(samples, jnp.float64)))
+                    cams[c].params,
+                    jnp.asarray(np.concatenate([samples, pad]),
+                                jnp.float64)))[:n]
                 W, H = cams[c].width, cams[c].height
-                for (u, v), te in zip(raw, times):
-                    if 0 <= u < W and 0 <= v < H:
-                        streams[c].append((te, int(u), int(v), True))
+                inb = ((raw[:, 0] >= 0) & (raw[:, 0] < W)
+                       & (raw[:, 1] >= 0) & (raw[:, 1] < H))
+                streams[c].append((times[inb],
+                                   raw[inb].astype(np.int32)))
             moved = nev > 0
             last_uv[c][moved] = uv[moved]
 
     out = []
     for c in (0, 1):
-        arr = sorted(streams[c])
+        ts_ = np.concatenate([s[0] for s in streams[c]])
+        xy = np.concatenate([s[1] for s in streams[c]])
+        order = np.argsort(ts_, kind="stable")
         out.append(EventArray(
-            t=np.asarray([e[0] for e in arr]),
-            x=np.asarray([e[1] for e in arr], np.int32),
-            y=np.asarray([e[2] for e in arr], np.int32),
-            p=np.asarray([e[3] for e in arr], bool)))
+            t=ts_[order], x=xy[order, 0], y=xy[order, 1],
+            p=np.ones(len(order), bool)))
     return out[0], out[1]
 
 

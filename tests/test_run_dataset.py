@@ -153,6 +153,7 @@ def test_run_dataset_closed_loop(dataset_dir, tmp_path):
     assert len(t) >= 50
     assert "ate_rmse_m" in result
     assert result["ate_rmse_m"] < 0.15, result
+    assert result["rpe_trans_rmse_m"] < 0.05, result
     assert result["stats"]["map_points"] > 200
     # global map export (esvo_Mapping.cpp:909-978)
     gm_pts = np.loadtxt(gm)
