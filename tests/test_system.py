@@ -144,7 +144,7 @@ def test_closed_loop_process_ticks(world):
     rig, scene, ticks, frames_l, frames_r = world
     system = EsvoSystem(rig, make_config())
 
-    n_ticks = 60
+    n_ticks = 40
     R = 5
     for k0 in range(0, n_ticks, R):
         ts = ticks[k0:k0 + R]
