@@ -1,10 +1,10 @@
 """End-to-end demo: synthetic stereo events -> depth maps + trajectory.
 
 Runs the full closed loop (SGM bootstrap -> mapping <-> tracking ->
-optional BA backend) on a simulated scene and reports depth accuracy vs
+optional BA / loop-closure backends) on a simulated scene and reports depth accuracy vs
 ground truth and trajectory ATE. Works on TPU or CPU.
 
-    python examples/run_synthetic.py [n_ticks] [--ba]
+    python examples/run_synthetic.py [n_ticks] [--ba] [--loop-closure]
 """
 import sys
 import time
@@ -29,6 +29,7 @@ W, H, FX, BASELINE, TICK = 240, 180, 150.0, 0.1, 0.01
 def main():
     n_ticks = int(sys.argv[1]) if len(sys.argv) > 1 else 60
     use_ba = "--ba" in sys.argv
+    use_lc = "--loop-closure" in sys.argv
     rng = np.random.default_rng(7)
     rig = make_ideal_rig(W, H, FX, FX, W / 2 - 0.5, H / 2 - 0.5, BASELINE,
                          dtype=jnp.float32)
@@ -53,6 +54,10 @@ def main():
                               regularization=False))
     system = EsvoSystem(rig, cfg)
     backend = BackendLoop(system) if use_ba else None
+    pose_graph = None
+    if use_lc:
+        from esvo_tpu.runtime.pose_graph_loop import PoseGraphLoop
+        pose_graph = PoseGraphLoop(system, keyframe_every=1)
 
     t0 = time.perf_counter()
     for k in range(min(n_ticks, len(ticks))):
@@ -63,6 +68,12 @@ def main():
                                   do_mapping=(k % 5 == 4))
         if backend:
             backend.maybe_update(out)
+        if pose_graph:
+            pg_stats = pose_graph.maybe_update(out)
+            if pg_stats and "pg_cost_final" in pg_stats:
+                print(f"tick {k}: loop closure -> kf "
+                      f"{pg_stats['lc_candidate']} "
+                      f"(sim {pg_stats['lc_similarity']:.3f})")
         if k % 10 == 9:
             print(f"tick {k}: {system.status.value} "
                   f"map_points={system.stats['map_points']}")
@@ -78,6 +89,8 @@ def main():
     print(f"ATE RMSE: {ate:.4f} m")
     if backend:
         print(f"BA runs: {backend.num_ba_runs}")
+    if pose_graph:
+        print(f"loop closures: {pose_graph.num_loop_closures}")
     system.save_trajectory("/tmp/esvo_tpu_traj.txt")
     print("trajectory saved to /tmp/esvo_tpu_traj.txt")
     assert ate < 0.1, "trajectory diverged"
