@@ -124,13 +124,28 @@ def bench_pipeline(W, H, N, disp, bm_cfg, dp_cfg, reps, rng):
     rig, ts_l_tex, ts_r_tex, ev_x, ev_y, ev_t, ev_p = \
         make_world(W, H, N, disp, rng)
     F = 4
-    fu_cfg = fu.FusionConfig()
     surf_cfg = tsf.TimeSurfaceConfig()
-    (cycle, stage_ts, stage_bm, stage_solve, stage_fuse, empty_history) = \
-        build_cycle(rig, W, H, N, F, bm_cfg, dp_cfg, fu_cfg, surf_cfg,
-                    ts_l_tex, ts_r_tex)
     ev_valid = jnp.ones(N, bool)
     ts_state = tsf.init_state(H, W)
+
+    # --- pick the faster fusion slot-assignment strategy on THIS device
+    # (bitwise-identical results; see mapping/fusion._assign_slots) ---
+    fuse_times = {}
+    stage_cache = {}
+    for strat in ("sort", "scatter_min"):
+        fu_cfg = fu.FusionConfig(slot_strategy=strat)
+        stages = build_cycle(rig, W, H, N, F, bm_cfg, dp_cfg, fu_cfg,
+                             surf_cfg, ts_l_tex, ts_r_tex)
+        stage_cache[strat] = (fu_cfg, stages)
+        history = stages[5](dr)
+        est0 = jax.tree.map(
+            lambda a: a[0], history)  # empty estimates, right shapes
+        t_f, _ = time_fn(jax.jit(stages[4]), (history, 0, est0),
+                         lambda o: o[2], max(reps // 2, 3))
+        fuse_times[strat] = t_f
+    best = min(fuse_times, key=fuse_times.get)
+    fu_cfg, (cycle, stage_ts, stage_bm, stage_solve, stage_fuse,
+             empty_history) = stage_cache[best]
     history = empty_history(dr)
 
     # --- stage breakdown (each stage as its own program) ---
@@ -164,6 +179,9 @@ def bench_pipeline(W, H, N, disp, bm_cfg, dp_cfg, reps, rng):
         "solve_ms": round(t_solve * 1e3, 3),
         "fuse_ms": round(t_fuse * 1e3, 3),
         "cycle_ms": round(t_cycle * 1e3, 3),
+        "fuse_strategy": best,
+        "fuse_ab_ms": {k: round(v * 1e3, 3)
+                       for k, v in fuse_times.items()},
     }
 
 
