@@ -41,8 +41,15 @@ class PoseGraphLoop:
                  lc_config: lc.LoopClosureConfig | None = None,
                  pg_config: pg.PoseGraphConfig | None = None,
                  reg_config: reg.RegProblemConfig | None = None,
-                 odom_w_rot: float = 100.0, odom_w_trans: float = 100.0):
+                 odom_w_rot: float = 100.0, odom_w_trans: float = 100.0,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh — the pose-graph LM then runs
+        through parallel.sharding.sharded_pose_graph with the edge axis
+        sharded (psum-reduced normal equations); edge buckets are already
+        multiples of 64, so any mesh size that divides 64 needs no extra
+        padding."""
         self.system = system
+        self.mesh = mesh
         self.keyframe_every = keyframe_every
         self.max_points_per_kf = max_points_per_kf
         self.lc_cfg = lc_config or lc.LoopClosureConfig()
@@ -62,9 +69,15 @@ class PoseGraphLoop:
         self._seen_reset = getattr(system, "reset_count", 0)
         self.num_loop_closures = 0
         self.num_optimizations = 0
-        # jax.jit caches compiled programs per (Kp, Ep) bucket shape
-        self._opt = jax.jit(functools.partial(pg.optimize_pose_graph,
-                                              cfg=self.pg_cfg))
+        if mesh is not None:
+            from esvo_tpu.parallel.sharding import sharded_pose_graph
+            assert 64 % mesh.size == 0, \
+                "mesh size must divide the 64-edge bucket"
+            self._opt = sharded_pose_graph(mesh, self.pg_cfg)
+        else:
+            # jax.jit caches compiled programs per (Kp, Ep) bucket shape
+            self._opt = jax.jit(functools.partial(pg.optimize_pose_graph,
+                                                  cfg=self.pg_cfg))
 
     # ------------------------------------------------------------------
     def _sample_keyframe(self):

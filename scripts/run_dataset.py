@@ -241,7 +241,8 @@ def main(argv=None):
     pose_graph = None
     if args.loop_closure:
         from esvo_tpu.runtime.pose_graph_loop import PoseGraphLoop
-        pose_graph = PoseGraphLoop(system, keyframe_every=args.loop_every)
+        pose_graph = PoseGraphLoop(system, keyframe_every=args.loop_every,
+                                   mesh=mesh)
 
     tick_rate = args.tick_rate_hz or cfg.tracking.tracking_rate_hz
     tick = 1.0 / tick_rate

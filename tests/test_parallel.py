@@ -271,3 +271,60 @@ def test_sharded_pose_graph_matches_serial(mesh):
     np.testing.assert_allclose(np.asarray(shard.T_world),
                                np.asarray(serial.T_world),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_pose_graph_loop_corrects_drift(mesh):
+    """PoseGraphLoop(mesh=...) — the loop-closure runtime layer with the
+    edge axis sharded — detects and corrects the same injected drift as
+    the serial layer (same scenario as
+    test_loop_closure.test_pose_graph_loop_corrects_drift)."""
+    from esvo_tpu.backend import loop_closure as lc
+    from esvo_tpu.geometry import se3
+    from esvo_tpu.runtime.pose_graph_loop import PoseGraphLoop
+    from tests.test_loop_closure import (_FakeSystem, volume_points,
+                                         edge_surface, rig as lc_rig)
+
+    r = lc_rig()
+    pts = volume_points(3)
+    K = 12
+    gt = []
+    for k in range(K + 1):
+        a = 2 * np.pi * k / K
+        xi = jnp.asarray([0.0, 0.0, 0.0,
+                          0.03 * np.cos(a) - 0.03, 0.03 * np.sin(a), 0.0])
+        gt.append(np.asarray(se3.se3_exp(xi), np.float64))
+    drift = np.asarray(se3.se3_exp(jnp.asarray(
+        [0.0, 0.0, 0.001, 0.004, 0.002, 0.0])), np.float64)
+    est = [gt[0]]
+    for k in range(K):
+        rel = np.linalg.inv(gt[k]) @ gt[k + 1]
+        est.append(est[-1] @ rel @ drift)
+
+    sysf = _FakeSystem(r, pts)
+    # min_gap 10: only the final revisits clear the temporal gate, so
+    # the (slow on the CPU mesh) sharded optimization runs ~2x, not 6x
+    pgl = PoseGraphLoop(
+        sysf, keyframe_every=1, mesh=mesh,
+        lc_config=lc.LoopClosureConfig(min_gap=10, min_similarity=0.9))
+
+    def sample():
+        Tinv = np.linalg.inv(sysf.gt_pose)
+        p_cam = pts @ Tinv[:3, :3].T + Tinv[:3, 3]
+        return (sysf.last_tick_time,
+                np.asarray(sysf.T_world_frame, np.float64),
+                p_cam, np.ones(len(pts), bool))
+    pgl._sample_keyframe = sample
+
+    rels = [np.linalg.inv(est[k]) @ est[k + 1] for k in range(K)]
+    err_uncorrected = np.linalg.norm(est[K][:3, 3] - gt[K][:3, 3])
+    for k in range(K + 1):
+        sysf.last_tick_time = float(k)
+        if k > 0:
+            sysf.T_world_frame = sysf.T_world_frame @ rels[k - 1]
+        sysf.gt_pose = gt[k]
+        ts = edge_surface(pts, gt[k], r.left)
+        pgl.maybe_update({"ts_left": jnp.asarray(ts), "bm_stats": {}})
+
+    assert pgl.num_loop_closures >= 1
+    err_after = np.linalg.norm(sysf.T_world_frame[:3, 3] - gt[K][:3, 3])
+    assert err_after < 0.5 * err_uncorrected, (err_uncorrected, err_after)

@@ -175,11 +175,15 @@ def test_run_dataset_sharded_rolls(dataset_dir, tmp_path):
         "--duration", "0.35",
         "--devices", "2",
         "--roll", "5",
+        "--loop-closure", "--loop-every", "2",
         "--out", out,
         "--quiet",
     ])
     assert result["stats"]["map_points"] > 150
     assert result["ate_rmse_m"] < 0.15, result
+    # sharded PoseGraphLoop ran inside the CLI (closures usually 0 on
+    # this short non-revisiting fixture)
+    assert "loop_closures" in result
 
 
 def test_run_dataset_from_rosbag(dataset_dir, tmp_path):
