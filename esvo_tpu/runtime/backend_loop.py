@@ -144,3 +144,45 @@ class BackendLoop:
                 "num_keyframes": graph.num_keyframes,
                 "num_points": graph.num_points,
                 "multiview_fraction": graph.multiview_fraction()}
+
+    # -- checkpoint / resume (keyframes are ragged: concatenated + offsets)
+    _CKPT_FILE = "backend_ba.npz"
+
+    def save(self, path: str) -> None:
+        """Write the BA-window state next to a system checkpoint."""
+        import os
+        K = len(self._kfs)
+        pts = [k[2] for k in self._kfs] if K else [np.zeros((0, 3))]
+        uvs = [k[3] for k in self._kfs] if K else [np.zeros((0, 2))]
+        oks = [k[4] for k in self._kfs] if K else [np.zeros(0, bool)]
+        np.savez_compressed(
+            os.path.join(path, self._CKPT_FILE),
+            times=np.asarray([k[0] for k in self._kfs]),
+            poses=(np.stack([k[1] for k in self._kfs]) if K
+                   else np.zeros((0, 4, 4))),
+            pts=np.concatenate(pts), uvs=np.concatenate(uvs),
+            oks=np.concatenate(oks),
+            counts=np.asarray([len(p) for p in pts], np.int64)[:K],
+            mapping_cycles=self._mapping_cycles,
+            num_ba_runs=self.num_ba_runs,
+            last_correction=self.last_correction)
+
+    def load(self, path: str) -> bool:
+        """Restore from a checkpoint dir; returns False if absent."""
+        import os
+        f = os.path.join(path, self._CKPT_FILE)
+        if not os.path.exists(f):
+            return False
+        d = np.load(f)
+        offs = np.concatenate([[0], np.cumsum(d["counts"])]).astype(int)
+        self._kfs = [
+            (float(d["times"][k]), d["poses"][k],
+             d["pts"][offs[k]:offs[k + 1]],
+             d["uvs"][offs[k]:offs[k + 1]],
+             d["oks"][offs[k]:offs[k + 1]])
+            for k in range(len(d["counts"]))]
+        self._mapping_cycles = int(d["mapping_cycles"])
+        self.num_ba_runs = int(d["num_ba_runs"])
+        self.last_correction = d["last_correction"]
+        self._seen_reset = getattr(self.system, "reset_count", 0)
+        return True

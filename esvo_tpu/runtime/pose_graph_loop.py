@@ -218,3 +218,55 @@ class PoseGraphLoop:
             return np.zeros(0), np.zeros((0, 4, 4))
         return (np.asarray([k[0] for k in self._kfs]),
                 np.stack([k[1] for k in self._kfs]))
+
+    # -- checkpoint / resume (keyframes are ragged: concatenated + offsets)
+    _CKPT_FILE = "pose_graph.npz"
+
+    def save(self, path: str) -> None:
+        """Write the loop-closure state next to a system checkpoint."""
+        import os
+        K = len(self._kfs)
+        pts = ([k[2] for k in self._kfs] if K else
+               [np.zeros((0, 3))])
+        oks = ([k[3] for k in self._kfs] if K else [np.zeros(0, bool)])
+        counts = np.asarray([len(p) for p in pts], np.int64)[:K]
+        E = len(self._loop_edges)
+        np.savez_compressed(
+            os.path.join(path, self._CKPT_FILE),
+            times=np.asarray([k[0] for k in self._kfs]),
+            poses=(np.stack([k[1] for k in self._kfs]) if K
+                   else np.zeros((0, 4, 4))),
+            pts=np.concatenate(pts), oks=np.concatenate(oks),
+            counts=counts,
+            edge_i=np.asarray([e[0] for e in self._loop_edges], np.int64),
+            edge_j=np.asarray([e[1] for e in self._loop_edges], np.int64),
+            edge_T=(np.stack([e[2] for e in self._loop_edges]) if E
+                    else np.zeros((0, 4, 4))),
+            desc=np.asarray(self.detector._D),
+            desc_count=self.detector.count,
+            mapping_cycles=self._mapping_cycles,
+            num_loop_closures=self.num_loop_closures,
+            num_optimizations=self.num_optimizations)
+
+    def load(self, path: str) -> bool:
+        """Restore from a checkpoint dir; returns False if absent."""
+        import os
+        f = os.path.join(path, self._CKPT_FILE)
+        if not os.path.exists(f):
+            return False
+        d = np.load(f)
+        offs = np.concatenate([[0], np.cumsum(d["counts"])]).astype(int)
+        self._kfs = [
+            (float(d["times"][k]), d["poses"][k],
+             d["pts"][offs[k]:offs[k + 1]], d["oks"][offs[k]:offs[k + 1]])
+            for k in range(len(d["counts"]))]
+        self._loop_edges = [
+            (int(i), int(j), T)
+            for i, j, T in zip(d["edge_i"], d["edge_j"], d["edge_T"])]
+        self.detector._D = jnp.asarray(d["desc"])
+        self.detector.count = int(d["desc_count"])
+        self._mapping_cycles = int(d["mapping_cycles"])
+        self.num_loop_closures = int(d["num_loop_closures"])
+        self.num_optimizations = int(d["num_optimizations"])
+        self._seen_reset = getattr(self.system, "reset_count", 0)
+        return True

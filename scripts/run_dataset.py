@@ -250,6 +250,10 @@ def main(argv=None):
     if args.resume:
         from esvo_tpu.runtime.checkpoint import load_checkpoint
         load_checkpoint(system, args.resume)
+        if backend is not None:
+            backend.load(args.resume)
+        if pose_graph is not None:
+            pose_graph.load(args.resume)
         # fast-forward past the checkpoint: replaying earlier ticks
         # would trip the dt<0 watchdog and silently reset the restored
         # state back to a cold start
@@ -335,6 +339,10 @@ def main(argv=None):
                 t_sync - last_ckpt >= args.checkpoint_every:
             from esvo_tpu.runtime.checkpoint import save_checkpoint
             save_checkpoint(system, args.checkpoint_dir)
+            if backend is not None:
+                backend.save(args.checkpoint_dir)
+            if pose_graph is not None:
+                pose_graph.save(args.checkpoint_dir)
             last_ckpt = t_sync
         if not args.quiet and (k + step) % 100 < step:
             wall = time.perf_counter() - wall0

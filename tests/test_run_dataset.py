@@ -294,3 +294,36 @@ def test_run_dataset_mvstereo_mode(dataset_dir, tmp_path):
         "--quiet",
     ])
     assert result["stats"]["map_points"] > 200
+
+
+def test_run_dataset_checkpoint_resume(dataset_dir, tmp_path):
+    """--checkpoint-every + --resume: the second invocation restores the
+    system AND backend state and continues the stream (fast-forwarding
+    past the checkpointed tick)."""
+    import run_dataset
+    ckpt = str(tmp_path / "ckpt")
+    out1 = str(tmp_path / "traj_a.txt")
+    out2 = str(tmp_path / "traj_b.txt")
+    base = [
+        "--dataset", str(dataset_dir),
+        "--calib", str(dataset_dir / "calib"),
+        "--mapping-yaml", str(dataset_dir / "cfg" / "mapping.yaml"),
+        "--tracking-yaml", str(dataset_dir / "cfg" / "tracking.yaml"),
+        "--ts-yaml", str(dataset_dir / "cfg" / "ts.yaml"),
+        "--loop-closure", "--loop-every", "2",
+        "--quiet",
+    ]
+    run_dataset.main(base + ["--duration", "0.3",
+                             "--checkpoint-every", "0.1",
+                             "--checkpoint-dir", ckpt,
+                             "--out", out1])
+    assert os.path.exists(os.path.join(ckpt, "state.npz"))
+    assert os.path.exists(os.path.join(ckpt, "pose_graph.npz"))
+
+    result = run_dataset.main(base + ["--duration", "0.6",
+                                      "--resume", ckpt,
+                                      "--out", out2])
+    t, T = load_tum(out2)
+    # the resumed run continues past the checkpoint to the full window
+    assert t[-1] > 0.5
+    assert result["ate_rmse_m"] < 0.2, result
