@@ -134,3 +134,29 @@ def test_up_down_configuration():
     # vertical baseline: matched coordinate moves along y
     xr = np.asarray(out.x_right)[v]
     np.testing.assert_array_equal(xr[:, 1], np.floor(x[v][:, 1]) - disp)
+
+
+def test_matmul_strategy_matches_slice():
+    """The MXU cost-volume path (banded-ones matmul horizontal box) must
+    produce the same matches as the slice-add path — the box sums have
+    identical zero-padding semantics, so any divergence is a bug."""
+    rng = np.random.default_rng(3)
+    disp = 7
+    ts_l, ts_r = shifted_pair(rng, disp)
+    ts_r = ts_r + rng.normal(0, 10, ts_r.shape)
+    r = rig()
+    N = 256
+    x = np.stack([rng.uniform(60, W - 20, N), rng.uniform(10, H - 10, N)],
+                 axis=1)
+    args = (jnp.asarray(ts_l, jnp.float32), jnp.asarray(ts_r, jnp.float32),
+            jnp.asarray(x, jnp.float32), jnp.asarray(x, jnp.float32),
+            jnp.zeros(N), jnp.ones(N, bool), r.left.mask, r)
+    a = bm.match_events(*args, bm.BlockMatchConfig(cost_strategy="slice",
+                                                   zncc_threshold=1.0))
+    b = bm.match_events(*args, bm.BlockMatchConfig(cost_strategy="matmul",
+                                                   zncc_threshold=1.0))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    np.testing.assert_array_equal(np.asarray(a.disparity),
+                                  np.asarray(b.disparity))
+    np.testing.assert_allclose(np.asarray(a.cost), np.asarray(b.cost),
+                               atol=5e-5)
