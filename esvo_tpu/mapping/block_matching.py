@@ -63,8 +63,9 @@ class BlockMatchConfig:
     #   "auto"   — "matmul" on TPU, "slice" elsewhere.
     # Both produce the same box sums (identical zero-padding semantics);
     # on TPU the matmul runs at Precision.HIGH (bf16x3 ~ f32: measured
-    # max cost deviation 1e-5 on [0,1] costs, 100% argmin agreement,
-    # 2.9x faster than "slice" at DSEC scale on v5e).
+    # max cost deviation ~6e-5 on [0,1] costs across disparity configs,
+    # 100% argmin agreement, 2.9x faster than "slice" at DSEC scale on
+    # v5e).
     cost_strategy: str = struct.field(pytree_node=False, default="auto")
 
 
@@ -213,6 +214,10 @@ def _match_horizontal(ts_left, ts_right, x_rect, t, valid, mask, rig, cfg,
     strategy = cfg.cost_strategy
     if strategy == "auto":
         strategy = "matmul" if jax.default_backend() == "tpu" else "slice"
+    if strategy not in ("slice", "matmul"):
+        raise ValueError(
+            f"unknown cost_strategy {cfg.cost_strategy!r} "
+            "(expected 'slice', 'matmul', or 'auto')")
 
     if strategy == "slice":
         pad_r = jnp.pad(ts_right, ((0, 0), (dmax, 0)))

@@ -158,5 +158,8 @@ def test_matmul_strategy_matches_slice():
     np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
     np.testing.assert_array_equal(np.asarray(a.disparity),
                                   np.asarray(b.disparity))
+    # argmin agreement (asserted exactly above) is the real invariant;
+    # on TPU the matmul path (bf16x3 Precision.HIGH) deviates up to
+    # ~6e-5 on [0,1] costs depending on the disparity range
     np.testing.assert_allclose(np.asarray(a.cost), np.asarray(b.cost),
-                               atol=5e-5)
+                               atol=2e-4)
