@@ -44,6 +44,17 @@ def load_rpg_dataset(path: str, max_events: int | None = None,
 
 def _load_txt_cached(txt_path: str, max_events, cache: bool):
     from esvo_tpu.io.native import load_events_native
+    # packed-binary dataset variant (e.g. the esim simulator's exports):
+    # events_left.npz next to — or instead of — events_left.txt
+    npz_only = txt_path[:-4] + ".npz"
+    if not os.path.exists(txt_path) and os.path.exists(npz_only):
+        from esvo_tpu.io.events import load_events_npz, EventArray
+        ev = load_events_npz(npz_only)
+        if max_events is not None and len(ev) > max_events:
+            ev = EventArray(t=ev.t[:max_events], x=ev.x[:max_events],
+                            y=ev.y[:max_events], p=ev.p[:max_events],
+                            t_offset=ev.t_offset)
+        return ev
     if not cache:
         return load_events_native(txt_path, max_events)
     from esvo_tpu.io.events import load_events_npz, save_events_npz, \

@@ -38,7 +38,9 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from esvo_tpu.geometry.camera import StereoRig, cam_to_world
+from esvo_tpu.geometry.camera import StereoRig, cam_to_world, inv3
+from esvo_tpu.geometry.se3 import (matrices_from_rows, rows_apply,
+                                   rows_from_matrices)
 from esvo_tpu.ops.interp import patch_interpolate, slice_patches
 
 
@@ -92,7 +94,9 @@ class DepthEstimates:
     residual: jax.Array    # (N,) |r|^2 at the solution
     age: jax.Array         # (N,) int32 fusion count
     p_cam: jax.Array       # (N, 3) 3D point in its own (virtual) camera frame
-    T_world_cam: jax.Array  # (N, 4, 4) pose of that camera
+    # pose of that camera in SoA rows layout (12, N) — see
+    # geometry.se3.rows_from_matrices for why (N, 4, 4) is hostile to TPU
+    T_world_cam: jax.Array
     valid: jax.Array       # (N,) bool
 
 
@@ -173,19 +177,27 @@ def _warp_in_bounds(x1, x2, width, height, cfg):
 def _apply_norm(tau1, tau2, ok, cfg: DepthProblemConfig, dtype):
     """fvec from the two sampled patches under cfg.ls_norm — the single
     site for the l2/zncc/Tdist weighting incl. the out-of-bounds
-    sentinel residual 255 (DepthProblem.cpp:44-59,126-158)."""
+    sentinel residual 255 (DepthProblem.cpp:44-59,126-158).
+
+    Batch-agnostic: tau1/tau2 are (..., wy, wx) with ok (...,); returns
+    (..., P)."""
     P = cfg.patch_area
-    r_raw = (tau1 - tau2).reshape(P)
-    r = jnp.where(ok, r_raw, jnp.asarray(255.0, dtype))
+    lead = tau1.shape[:-2]
+    r_raw = (tau1 - tau2).reshape(lead + (P,))
+    okx = jnp.asarray(ok)[..., None]
+    r = jnp.where(okx, r_raw, jnp.asarray(255.0, dtype))
     if cfg.ls_norm == "l2":
         return r
     if cfg.ls_norm == "zncc":
-        mu1 = jnp.mean(tau1)
-        mu2 = jnp.mean(tau2)
-        s1 = jnp.sqrt(jnp.mean((tau1 - mu1) ** 2)) + 1e-6
-        s2 = jnp.sqrt(jnp.mean((tau2 - mu2) ** 2)) + 1e-6
-        z = ((tau1 - mu1) / s1 - (tau2 - mu2) / s2).reshape(P) / math.sqrt(P)
-        return jnp.where(ok, z, jnp.asarray(2.0 / math.sqrt(P), dtype))
+        mu1 = jnp.mean(tau1, axis=(-2, -1), keepdims=True)
+        mu2 = jnp.mean(tau2, axis=(-2, -1), keepdims=True)
+        s1 = jnp.sqrt(jnp.mean((tau1 - mu1) ** 2, axis=(-2, -1),
+                               keepdims=True)) + 1e-6
+        s2 = jnp.sqrt(jnp.mean((tau2 - mu2) ** 2, axis=(-2, -1),
+                               keepdims=True)) + 1e-6
+        z = ((tau1 - mu1) / s1 - (tau2 - mu2) / s2).reshape(lead + (P,)) \
+            / math.sqrt(P)
+        return jnp.where(okx, z, jnp.asarray(2.0 / math.sqrt(P), dtype))
     if cfg.ls_norm == "Tdist":
         nu = cfg.td_nu
         # valid branch: IRLS weights from the re-estimated scale
@@ -194,7 +206,7 @@ def _apply_norm(tau1, tau2, ok, cfg: DepthProblemConfig, dtype):
                                  cfg.td_fixed_point_iters)
         # invalid branch: fixed weight of a 255 residual at the base scale
         w_oob = (nu + 1.0) / (nu + (255.0 / cfg.td_scale) ** 2)
-        w = jnp.where(ok, w_valid, jnp.asarray(w_oob, dtype))
+        w = jnp.where(okx, w_valid, jnp.asarray(w_oob, dtype))
         return jnp.sqrt(w) * r
     raise ValueError(f"unsupported LSnorm: {cfg.ls_norm}")
 
@@ -209,9 +221,9 @@ def _warp_positions(d, coord, T_left_virtual, P_left, P_right):
     return x1h[:2] / x1h[2], x2h[:2] / x2h[2]
 
 
-def _window_patch(win, oy_org, ox_org, x, wy, wx, Wy, Wx):
-    """Bilinearly sample a (wy, wx) patch centred at sub-pixel x from a
-    pre-gathered (Wy, Wx) window whose origin is (oy_org, ox_org).
+def _window_patch(win, oy_org, ox_org, u, v, wy, wx, Wy, Wx):
+    """Bilinearly sample a (wy, wx) patch centred at sub-pixel (u, v) from
+    a pre-gathered (Wy, Wx) window whose origin is (oy_org, ox_org).
 
     The integer-aligned (wy+1, wx+1) source block is extracted with two
     tiny one-hot matmuls src = A @ win @ B^T — no gathers inside the LM
@@ -227,7 +239,6 @@ def _window_patch(win, oy_org, ox_org, x, wy, wx, Wy, Wx):
     """
     hy = (wy - 1) // 2
     hx = (wx - 1) // 2
-    u, v = x[0], x[1]
     u0 = jnp.floor(u)
     v0 = jnp.floor(v)
     fx = u - u0
@@ -265,10 +276,48 @@ def residuals_windowed(d, coord, T_left_virtual, win1, win2, org1, org2,
 
     x1, x2 = _warp_positions(d, coord, T_left_virtual, P_left, P_right)
     ok_warp = _warp_in_bounds(x1, x2, width, height, cfg)
-    tau1, ok1 = _window_patch(win1, org1[0], org1[1], x1, wy, wx, Wy, Wx)
-    tau2, ok2 = _window_patch(win2, org2[0], org2[1], x2, wy, wx, Wy, Wx)
+    tau1, ok1 = _window_patch(win1, org1[0], org1[1], x1[0], x1[1],
+                              wy, wx, Wy, Wx)
+    tau2, ok2 = _window_patch(win2, org2[0], org2[1], x2[0], x2[1],
+                              wy, wx, Wy, Wx)
     ok = ok_warp & ok1 & ok2
     return _apply_norm(tau1, tau2, ok, cfg, dtype), ok
+
+
+def _warp_positions_rows(d, u, v, rows_lv, P_left, P_right, Ainv):
+    """Batched warp in the SoA layout: inverse depth d (N,), raw rectified
+    coordinates u/v (N,), per-event virtual->left transforms rows_lv
+    (12, N). Returns (u1, v1, u2, v2) each (N,). Same geometry as
+    `_warp_positions` (DepthProblem.cpp:162-191) but pure lane-parallel
+    VPU math — no batched matvecs, no (N, 4, 4) traffic."""
+    z = 1.0 / d
+    r0 = z * u - P_left[0, 3]
+    r1 = z * v - P_left[1, 3]
+    r2 = z - P_left[2, 3]
+    px = Ainv[0, 0] * r0 + Ainv[0, 1] * r1 + Ainv[0, 2] * r2
+    py = Ainv[1, 0] * r0 + Ainv[1, 1] * r1 + Ainv[1, 2] * r2
+    pz = Ainv[2, 0] * r0 + Ainv[2, 1] * r1 + Ainv[2, 2] * r2
+    qx, qy, qz = rows_apply(rows_lv, px, py, pz)
+
+    def proj(P):
+        hx = P[0, 0] * qx + P[0, 1] * qy + P[0, 2] * qz + P[0, 3]
+        hy = P[1, 0] * qx + P[1, 1] * qy + P[1, 2] * qz + P[1, 3]
+        hz = P[2, 0] * qx + P[2, 1] * qy + P[2, 2] * qz + P[2, 3]
+        return hx / hz, hy / hz
+
+    (u1, v1) = proj(P_left)
+    (u2, v2) = proj(P_right)
+    return u1, v1, u2, v2
+
+
+def _warp_in_bounds_batch(u1, v1, u2, v2, width, height,
+                          cfg: DepthProblemConfig):
+    bx = (cfg.patch_size_x - 1) // 2
+    by = (cfg.patch_size_y - 1) // 2
+    return ((u1 >= bx) & (u1 <= width - bx)
+            & (v1 >= by) & (v1 <= height - by)
+            & (u2 >= bx) & (u2 <= width - bx)
+            & (v2 >= by) & (v2 <= height - by))
 
 
 def solve(matches_x: jax.Array, T_world_virtual: jax.Array,
