@@ -335,20 +335,6 @@ def interpolate_pose_table(times: jax.Array, poses: jax.Array,
 # plain VPU elementwise math, and the whole table is 3x smaller in HBM.
 # rows[4*i + j] == T[i, j].
 
-_EYE_ROWS = (1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0)
-
-
-def rows_identity(n: int, dtype=jnp.float32) -> jax.Array:
-    """(12, n) identity-transform rows."""
-    return jnp.broadcast_to(
-        jnp.asarray(_EYE_ROWS, dtype)[:, None], (12, n))
-
-
-def rows_from_matrix(T: jax.Array) -> jax.Array:
-    """(4, 4) -> (12,)."""
-    return jnp.reshape(T[:3, :4], (12,))
-
-
 def rows_from_matrices(T: jax.Array) -> jax.Array:
     """(..., 4, 4) -> (12, ...). One transpose at the layout boundary."""
     flat = T[..., :3, :4].reshape(T.shape[:-2] + (12,))
@@ -363,23 +349,6 @@ def matrices_from_rows(rows: jax.Array) -> jax.Array:
     return jnp.concatenate([T34, bottom], axis=-2)
 
 
-def rows_compose(A: jax.Array, B: jax.Array) -> jax.Array:
-    """Rigid compose C = A @ B on rows. A: (12,) or (12, ...) broadcastable
-    against B's batch; B: (..., 12, N) with the rows axis second-to-last
-    (so stacked histories (F, 12, N) compose in one call). Pure VPU."""
-    a = [A[k] for k in range(12)]
-    b = [B[..., k, :] for k in range(12)]
-    c = []
-    for i in range(3):
-        for j in range(4):
-            s = (a[4 * i + 0] * b[0 + j] + a[4 * i + 1] * b[4 + j]
-                 + a[4 * i + 2] * b[8 + j])
-            if j == 3:
-                s = s + a[4 * i + 3]
-            c.append(s)
-    return jnp.stack(c, axis=-2)
-
-
 def rows_apply(rows: jax.Array, px, py, pz):
     """Apply (12, N) transforms to per-lane points: returns (qx, qy, qz)."""
     qx = rows[0] * px + rows[1] * py + rows[2] * pz + rows[3]
@@ -387,54 +356,3 @@ def rows_apply(rows: jax.Array, px, py, pz):
     qz = rows[8] * px + rows[9] * py + rows[10] * pz + rows[11]
     return qx, qy, qz
 
-
-def interpolate_pose_table_rows(times: jax.Array, poses: jax.Array,
-                                query_t: jax.Array) -> jax.Array:
-    """SoA variant of interpolate_pose_table: returns (12, Q) rows.
-
-    Same semantics (translation lerp + quaternion slerp, end-clamped);
-    the small (S,) table is converted to SoA quaternion/translation
-    planes once, and every per-query op is elementwise over lanes.
-    """
-    S = times.shape[0]
-    hi = jnp.clip(jnp.searchsorted(times, query_t, side="left",
-                                   method="compare_all"), 1, S - 1)
-    lo = hi - 1
-    dtype = poses.dtype
-    t0 = times[lo].astype(dtype)
-    t1 = times[hi].astype(dtype)
-    tq = query_t.astype(dtype)
-    denom = jnp.where(jnp.abs(t1 - t0) < 1e-12, 1.0, t1 - t0)
-    alpha = jnp.clip((tq - t0) / denom, 0.0, 1.0)          # (Q,)
-
-    qt = rot_to_quat(poses[:, :3, :3]).T                   # (4, S) SoA
-    tt = poses[:, :3, 3].T                                 # (3, S) SoA
-    q0 = qt[:, lo]                                         # (4, Q)
-    q1 = qt[:, hi]
-    # slerp, componentwise (mirrors slerp() above)
-    dot = jnp.sum(q0 * q1, axis=0)
-    q1 = jnp.where(dot < 0, -q1, q1)
-    dot = jnp.clip(jnp.abs(dot), -1.0, 1.0)
-    theta = jnp.arccos(dot)
-    sin_theta = jnp.sin(theta)
-    small = sin_theta < 1e-6
-    w0 = jnp.where(small, 1.0 - alpha,
-                   jnp.sin((1.0 - alpha) * theta)
-                   / jnp.where(small, 1.0, sin_theta))
-    w1 = jnp.where(small, alpha,
-                   jnp.sin(alpha * theta) / jnp.where(small, 1.0, sin_theta))
-    q = w0 * q0 + w1 * q1
-    q = q / jnp.sqrt(jnp.sum(q * q, axis=0))
-    x, y, z, w = q[0], q[1], q[2], q[3]
-    # quat -> rotation rows (same formulas as quat_to_rot)
-    n = x * x + y * y + z * z + w * w
-    s = jnp.where(n > 0, 2.0 / n, 0.0)
-    wx, wy, wz = s * w * x, s * w * y, s * w * z
-    xx, xy, xz = s * x * x, s * x * y, s * x * z
-    yy, yz, zz = s * y * y, s * y * z, s * z * z
-    tr = (1.0 - alpha) * tt[:, lo] + alpha * tt[:, hi]     # (3, Q)
-    return jnp.stack([
-        1.0 - (yy + zz), xy - wz, xz + wy, tr[0],
-        xy + wz, 1.0 - (xx + zz), yz - wx, tr[1],
-        xz - wy, yz + wx, 1.0 - (xx + yy), tr[2],
-    ], axis=0)

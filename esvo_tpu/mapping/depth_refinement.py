@@ -39,8 +39,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from esvo_tpu.geometry.camera import StereoRig, cam_to_world, inv3
-from esvo_tpu.geometry.se3 import (matrices_from_rows, rows_apply,
-                                   rows_from_matrices)
+from esvo_tpu.geometry.se3 import rows_apply, rows_from_matrices
 from esvo_tpu.ops.interp import patch_interpolate, slice_patches
 
 
@@ -94,9 +93,10 @@ class DepthEstimates:
     residual: jax.Array    # (N,) |r|^2 at the solution
     age: jax.Array         # (N,) int32 fusion count
     p_cam: jax.Array       # (N, 3) 3D point in its own (virtual) camera frame
-    # pose of that camera in SoA rows layout (12, N) — see
-    # geometry.se3.rows_from_matrices for why (N, 4, 4) is hostile to TPU
-    T_world_cam: jax.Array
+    T_world_cam: jax.Array  # (N, 4, 4) pose of that (virtual) camera
+    # (solve() internally converts poses to the SoA (12, N) rows layout —
+    # geometry/se3.py — but the container keeps the matrix layout that the
+    # fusion/runtime/checkpoint consumers exchange)
     valid: jax.Array       # (N,) bool
 
 
@@ -258,32 +258,6 @@ def _window_patch(win, oy_org, ox_org, u, v, wy, wx, Wy, Wx):
     return patch, ok
 
 
-def residuals_windowed(d, coord, T_left_virtual, win1, win2, org1, org2,
-                       P_left, P_right, width: int, height: int,
-                       cfg: DepthProblemConfig):
-    """Residual vector like `residuals`, sampling from per-event windows.
-
-    org1/org2: (2,) int32 (oy, ox) window origins. Identical to the
-    reference semantics while the patch stays within the window; a
-    solution that wanders past the margin gets the out-of-bounds penalty
-    (DepthProblem.cpp:44-59) — in the reference such far excursions are
-    instead sampled from the full image, but they only occur on diverging
-    events that the subsequent culling drops either way.
-    """
-    wx, wy = cfg.patch_size_x, cfg.patch_size_y
-    Wy, Wx = win1.shape
-    dtype = win1.dtype
-
-    x1, x2 = _warp_positions(d, coord, T_left_virtual, P_left, P_right)
-    ok_warp = _warp_in_bounds(x1, x2, width, height, cfg)
-    tau1, ok1 = _window_patch(win1, org1[0], org1[1], x1[0], x1[1],
-                              wy, wx, Wy, Wx)
-    tau2, ok2 = _window_patch(win2, org2[0], org2[1], x2[0], x2[1],
-                              wy, wx, Wy, Wx)
-    ok = ok_warp & ok1 & ok2
-    return _apply_norm(tau1, tau2, ok, cfg, dtype), ok
-
-
 def _warp_positions_rows(d, u, v, rows_lv, P_left, P_right, Ainv):
     """Batched warp in the SoA layout: inverse depth d (N,), raw rectified
     coordinates u/v (N,), per-event virtual->left transforms rows_lv
@@ -350,37 +324,56 @@ def solve(matches_x: jax.Array, T_world_virtual: jax.Array,
     # on smaller images origin() clipping would silently sample
     # border-replicated rows, so fall back to full-image sampling
     if cfg.window_margin >= 0 and H >= Wy and W >= Wx:
-        # pre-gather one window per surface per event around the initial
-        # warp positions; LM iterations then never touch HBM
-        x1_0, x2_0 = jax.vmap(_warp_positions,
-                              in_axes=(0, 0, 0, None, None))(
-            jnp.asarray(d_init, dtype), matches_x, T_left_virtual,
-            P_left, P_right)
+        # Pre-gather one window per surface per event around the initial
+        # warp positions; LM iterations then never touch HBM. The warp
+        # itself runs in the SoA pose-rows layout: an (N, 4, 4) batch of
+        # transforms pads each 4x4 to an (8, 128) tile and lowers the
+        # per-event matvecs to tiny serialized dot_generals, while (12, N)
+        # coefficient planes make the whole warp lane-parallel VPU math
+        # (geometry/se3.py). One layout transpose at entry.
+        rows_lv = rows_from_matrices(T_left_virtual)        # (12, N)
+        Ainv = inv3(P_left[:, :3])
+        u_ev = matches_x[:, 0]
+        v_ev = matches_x[:, 1]
 
-        def origin(x):
-            oy = jnp.floor(x[:, 1]).astype(jnp.int32) - (wy - 1) // 2 - mg
-            ox = jnp.floor(x[:, 0]).astype(jnp.int32) - (wx - 1) // 2 - mg
-            oy = jnp.clip(oy, 0, H - Wy)
-            ox = jnp.clip(ox, 0, W - Wx)
-            return jnp.stack([oy, ox], axis=1)
+        def warp_batch(d):
+            return _warp_positions_rows(d, u_ev, v_ev, rows_lv, P_left,
+                                        P_right, Ainv)
 
-        org1 = origin(x1_0)
-        org2 = origin(x2_0)
-        win1 = slice_patches(ts_left, org1[:, 0], org1[:, 1], Wy, Wx)
-        win2 = slice_patches(ts_right, org2[:, 0], org2[:, 1], Wy, Wx)
+        u1_0, v1_0, u2_0, v2_0 = warp_batch(jnp.asarray(d_init, dtype))
 
-        def fvec_one(d, coord, T_lv, w1, w2, o1, o2):
-            return residuals_windowed(d, coord, T_lv, w1, w2, o1, o2,
-                                      P_left, P_right, W, H, cfg)
+        def origin(u, v):
+            oy = jnp.floor(v).astype(jnp.int32) - (wy - 1) // 2 - mg
+            ox = jnp.floor(u).astype(jnp.int32) - (wx - 1) // 2 - mg
+            return jnp.clip(oy, 0, H - Wy), jnp.clip(ox, 0, W - Wx)
 
-        def fj_one(d, coord, T_lv, w1, w2, o1, o2):
-            (f, ok), (jf, _) = jax.jvp(
-                lambda dd: fvec_one(dd, coord, T_lv, w1, w2, o1, o2),
-                (d,), (jnp.ones_like(d),))
+        oy1, ox1 = origin(u1_0, v1_0)
+        oy2, ox2 = origin(u2_0, v2_0)
+        win1 = slice_patches(ts_left, oy1, ox1, Wy, Wx)
+        win2 = slice_patches(ts_right, oy2, ox2, Wy, Wx)
+        sample = jax.vmap(_window_patch,
+                          in_axes=(0, 0, 0, 0, 0) + (None,) * 4)
+
+        def fvec_batch(d):
+            """Batched windowed residuals. Identical to the reference
+            semantics while the patch stays within the window; a solution
+            that wanders past the margin gets the out-of-bounds penalty
+            (DepthProblem.cpp:44-59) — in the reference such far
+            excursions are instead sampled from the full image, but they
+            only occur on diverging events that culling drops either way.
+            """
+            u1, v1, u2, v2 = warp_batch(d)
+            ok_warp = _warp_in_bounds_batch(u1, v1, u2, v2, W, H, cfg)
+            tau1, ok1 = sample(win1, oy1, ox1, u1, v1, wy, wx, Wy, Wx)
+            tau2, ok2 = sample(win2, oy2, ox2, u2, v2, wy, wx, Wy, Wx)
+            ok = ok_warp & ok1 & ok2
+            return _apply_norm(tau1, tau2, ok, cfg, dtype), ok
+
+        def batch_fj(d, xc, T):
+            del xc, T
+            (f, ok), (jf, _) = jax.jvp(fvec_batch, (d,),
+                                       (jnp.ones_like(d),))
             return f, jf, ok
-
-        _fj = jax.vmap(fj_one, in_axes=(0, 0, 0, 0, 0, 0, 0))
-        batch_fj = lambda d, xc, T: _fj(d, xc, T, win1, win2, org1, org2)
     else:
         def fvec_of(d, coord, T_lv):
             f, ok = residuals(d, coord, T_lv, ts_left, ts_right, P_left,

@@ -246,3 +246,44 @@ class TestCamera:
         expect = 0.5 * (np.asarray(img)[:, :-1] + np.asarray(img)[:, 1:])
         np.testing.assert_allclose(np.asarray(shifted)[:, :-1], expect,
                                    atol=1e-12)
+
+
+class TestPoseRows:
+    """SoA (12, N) pose-rows layout (se3.rows_*), the TPU-native carrier
+    of per-event transforms inside depth_refinement.solve."""
+
+    def _random_transforms(self, n, rng):
+        Ts = []
+        for _ in range(n):
+            w = rng.normal(size=3)
+            R = np.asarray(se3.so3_exp(jnp.asarray(w)))
+            T = np.eye(4)
+            T[:3, :3] = R
+            T[:3, 3] = rng.normal(size=3)
+            Ts.append(T)
+        return np.stack(Ts)
+
+    def test_rows_roundtrip(self):
+        rng = np.random.default_rng(3)
+        T = self._random_transforms(17, rng)
+        rows = se3.rows_from_matrices(jnp.asarray(T))
+        assert rows.shape == (12, 17)
+        back = np.asarray(se3.matrices_from_rows(rows))
+        np.testing.assert_allclose(back, T, atol=1e-12)
+        # rows[4*i + j] == T[:, i, j]
+        for i in range(3):
+            for j in range(4):
+                np.testing.assert_allclose(np.asarray(rows[4 * i + j]),
+                                           T[:, i, j])
+
+    def test_rows_apply_matches_matmul(self):
+        rng = np.random.default_rng(4)
+        T = self._random_transforms(33, rng)
+        p = rng.normal(size=(33, 3))
+        rows = se3.rows_from_matrices(jnp.asarray(T))
+        qx, qy, qz = se3.rows_apply(rows, jnp.asarray(p[:, 0]),
+                                    jnp.asarray(p[:, 1]),
+                                    jnp.asarray(p[:, 2]))
+        expect = np.einsum("nij,nj->ni", T[:, :3, :3], p) + T[:, :3, 3]
+        np.testing.assert_allclose(np.stack([qx, qy, qz], 1), expect,
+                                   atol=1e-12)
