@@ -88,10 +88,27 @@ def _associate(t_est, t_gt, max_dt=0.02):
     return np.nonzero(ok)[0], j[ok]
 
 
+def rigid_mask(poses: np.ndarray, tol: float = 0.05) -> np.ndarray:
+    """(K,) mask of finite, invertible, near-orthonormal poses. Degenerate
+    entries (a diverged tracker step, a zeroed checkpoint slot) would make
+    downstream inv()/alignment blow up — score around them instead."""
+    T = np.asarray(poses)
+    ok = np.isfinite(T.reshape(len(T), -1)).all(axis=1)
+    R = np.where(ok[:, None, None], T[:, :3, :3], np.eye(3))
+    ok &= np.abs(np.linalg.det(R) - 1.0) < tol
+    err = R @ np.transpose(R, (0, 2, 1)) - np.eye(3)
+    ok &= np.sqrt((err ** 2).sum(axis=(1, 2))) < tol
+    return ok
+
+
 def ate_rmse(t_est, poses_est, t_gt, poses_gt, align: bool = True,
              with_scale: bool = False, max_dt: float = 0.02) -> float:
-    """Absolute trajectory error RMSE (m) after SE(3)/Sim(3) alignment."""
-    ie, ig = _associate(np.asarray(t_est), np.asarray(t_gt), max_dt)
+    """Absolute trajectory error RMSE (m) after SE(3)/Sim(3) alignment.
+    Degenerate estimated poses are excluded (rigid_mask)."""
+    keep = rigid_mask(poses_est)
+    t_est = np.asarray(t_est)[keep]
+    poses_est = np.asarray(poses_est)[keep]
+    ie, ig = _associate(t_est, np.asarray(t_gt), max_dt)
     if len(ie) < 2:
         return float("inf")
     pe = np.asarray(poses_est)[ie, :3, 3]
@@ -105,7 +122,11 @@ def ate_rmse(t_est, poses_est, t_gt, poses_gt, align: bool = True,
 def rpe_stats(t_est, poses_est, t_gt, poses_gt, delta: int = 1,
               max_dt: float = 0.02):
     """Relative pose error over `delta`-step pairs.
-    Returns (trans_rmse, rot_rmse_rad)."""
+    Returns (trans_rmse, rot_rmse_rad). Degenerate estimated poses are
+    excluded (rigid_mask)."""
+    keep = rigid_mask(poses_est)
+    t_est = np.asarray(t_est)[keep]
+    poses_est = np.asarray(poses_est)[keep]
     ie, ig = _associate(np.asarray(t_est), np.asarray(t_gt), max_dt)
     Te = np.asarray(poses_est)[ie]
     Tg = np.asarray(poses_gt)[ig]

@@ -49,6 +49,16 @@ from esvo_tpu.tracking import registration as reg
 from esvo_tpu.runtime.config import SystemConfig
 
 
+def _pose_is_rigid(T: np.ndarray, tol: float = 0.05) -> bool:
+    """Finite + near-orthonormal rotation with det ~ 1 (see
+    record_pose's rejection rationale)."""
+    if T.shape != (4, 4) or not np.isfinite(T).all():
+        return False
+    R = T[:3, :3]
+    return (abs(float(np.linalg.det(R)) - 1.0) < tol
+            and float(np.linalg.norm(R @ R.T - np.eye(3))) < tol)
+
+
 class SystemStatus(enum.Enum):
     """Reference: /ESVO_SYSTEM_STATUS parameter (esvo_Mapping.cpp:131-132,
     README.md:109)."""
@@ -188,7 +198,7 @@ class EsvoSystem:
         self.events_since_last_obs = 0
         self.stats = {"fusions": 0, "dropped": 0, "map_points": 0,
                       "low_event_ticks": 0, "pose_miss_skips": 0,
-                      "bm": {}}
+                      "tracking_rejects": 0, "bm": {}}
         # REF_HISTORY (esvo_Tracking.cpp:279-292): ring of the most recent
         # map exports so tracking can fall back when a cycle collapses
         self._ref_maps: list[tuple] = []   # (pts, ok, n_points)
@@ -527,10 +537,22 @@ class EsvoSystem:
 
     def record_pose(self, t: float, T_world_cam: np.ndarray):
         """Feed a pose into the tf-equivalent buffer (GT poses in MVStereo
-        mode, tracker poses in closed loop)."""
+        mode, tracker poses in closed loop).
+
+        Non-rigid/non-finite poses are REJECTED (previous pose kept,
+        counted in stats): a diverged tracker step — possible when the
+        solve runs on a stale fallback ref map after a map collapse —
+        must not enter the pose table, where interpolation would smear it
+        over every virtual view of the next mapping cycle (the
+        reference's equivalent guard is resetRegProblem returning false,
+        RegProblemSolverLM.cpp:45-57)."""
+        T = np.asarray(T_world_cam)
+        if not _pose_is_rigid(T):
+            self.stats["tracking_rejects"] += 1
+            return
         self.pose_times.append(float(t))
-        self.pose_list.append(np.asarray(T_world_cam))
-        self.T_world_cur = np.asarray(T_world_cam)
+        self.pose_list.append(T)
+        self.T_world_cur = T
 
     def _push_history(self, est: dr.DepthEstimates):
         self.history = _tree_stack_slot(self.history, est, self._hist_slot)
@@ -853,7 +875,9 @@ class EsvoSystem:
             for i, t in enumerate(t_syncs):
                 self.record_pose(float(t), poses_np[i])
                 self.traj_times.append(float(t))
-                self.traj_poses.append(poses_np[i])
+                # T_world_cur is the record_pose-guarded pose: a rejected
+                # (non-rigid) tracker step records the carried-over pose
+                self.traj_poses.append(self.T_world_cur.copy())
             rms = np.asarray(rms)
             out["tracking_rms"] = rms
             out["lm_stats"] = {"n_points": int(nsel),

@@ -234,3 +234,24 @@ time_surface_mode: 0
     assert abs(cfg.surface.decay_sec - 0.02) < 1e-9
     assert cfg.surface.mode == "backward"
     assert cfg.cost_vis_threshold == 20.0 ** 2 * 55
+
+
+def test_rigid_mask_and_robust_metrics():
+    """ate_rmse/rpe_stats must score around degenerate poses instead of
+    raising LinAlgError (observed: a collapsed-map tracker step emitted a
+    singular pose mid-run)."""
+    from esvo_tpu.eval.trajectory import ate_rmse, rpe_stats, rigid_mask
+    rng = np.random.default_rng(0)
+    K = 30
+    t = np.arange(K) * 0.01
+    T = np.broadcast_to(np.eye(4), (K, 4, 4)).copy()
+    T[:, :3, 3] = rng.normal(size=(K, 3)) * 0.01 + t[:, None]
+    bad = T.copy()
+    bad[7] = 0.0                      # singular
+    bad[19, 0, 0] = np.nan            # non-finite
+    mask = rigid_mask(bad)
+    assert not mask[7] and not mask[19] and mask.sum() == K - 2
+    ate = ate_rmse(t, bad, t, T)
+    assert np.isfinite(ate) and ate < 0.05
+    rt, rr = rpe_stats(t, bad, t, T)
+    assert np.isfinite(rt) and np.isfinite(rr)

@@ -188,3 +188,26 @@ def test_reconfigure(world):
         system.process_tick(float(ticks[k]), frame_at(frames_l, k),
                             frame_at(frames_r, k), do_mapping=(k % 5 == 4))
     assert system.status == SystemStatus.WORKING
+
+
+def test_record_pose_rejects_degenerate():
+    """A diverged tracker pose (non-finite / non-rigid) must not enter
+    the pose table or move T_world_cur (reference guard:
+    RegProblemSolverLM.cpp:45-57 returning false)."""
+    rig = make_ideal_rig(W, H, FX, FX, W / 2 - 0.5, H / 2 - 0.5, BASELINE,
+                         dtype=jnp.float32)
+    system = EsvoSystem(rig, make_config())
+    T = np.eye(4)
+    T[:3, 3] = [1.0, 2.0, 3.0]
+    system.record_pose(0.1, T)
+    n_ok = len(system.pose_times)
+    system.record_pose(0.2, np.zeros((4, 4)))          # singular
+    bad = np.eye(4)
+    bad[0, 3] = np.nan
+    system.record_pose(0.3, bad)                       # non-finite
+    scaled = np.eye(4) * 1.5
+    scaled[3, 3] = 1.0
+    system.record_pose(0.4, scaled)                    # det != 1
+    assert system.stats["tracking_rejects"] == 3
+    assert len(system.pose_times) == n_ok
+    np.testing.assert_array_equal(system.T_world_cur, T)
