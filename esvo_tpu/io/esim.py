@@ -235,7 +235,12 @@ class SensorConfig:
     num_hot_pixels: int = 8
     hot_pixel_rate_hz: float = 1000.0   # capped at the substep rate
     substep_dt: float = 1e-3
-    event_budget_per_step: int = 8192   # compaction budget (counted overflow)
+    # per-substep compaction budget; <= 0 means auto (= H*W: one event per
+    # pixel per substep on average, far above real sensor activity).
+    # Overflow is counted AND warned about: the flat-index compaction
+    # drops later per-pixel crossings and the noise slot first, a biased
+    # loss that must never silently truncate a campaign's stream.
+    event_budget_per_step: int = 0
 
 
 def _make_camera_step(scene: PlaneScene, K: np.ndarray, width: int,
@@ -318,7 +323,13 @@ def simulate_camera(scene: PlaneScene, K: np.ndarray, width: int,
                     chunk_steps: int = 256, progress=None):
     """Simulate one camera over [t_start, t_end). pose_fn(t) -> (4, 4)
     T_world_cam. Returns (EventArray, stats dict)."""
+    if cfg.event_budget_per_step <= 0:
+        cfg = dataclasses.replace(cfg,
+                                  event_budget_per_step=max(4096,
+                                                            width * height))
     step_fn, E, B, HW = _make_camera_step(scene, K, width, height, cfg)
+    # bound per-chunk output memory (t f32 + idx i32 + p bool = 9 B/slot)
+    chunk_steps = max(8, min(chunk_steps, int(64e6 / (B * 9))))
     n_steps = int(round((t_end - t_start) / cfg.substep_dt))
     # per-pixel fixed-pattern thresholds
     c = cfg.contrast_threshold
@@ -388,6 +399,14 @@ def simulate_camera(scene: PlaneScene, K: np.ndarray, width: int,
                     p=p[order])
     stats = {"events": int(len(ev)), "overflow_dropped": int(overflow),
              "rate_ev_per_s": float(len(ev) / max(t_end - t_start, 1e-9))}
+    produced = total + overflow
+    if produced and overflow / produced > 0.01:
+        import warnings
+        warnings.warn(
+            f"esim: budget dropped {overflow}/{produced} events "
+            f"({100 * overflow / produced:.1f}%) — a biased loss (later "
+            f"per-pixel crossings and leak/hot noise go first); raise "
+            f"SensorConfig.event_budget_per_step (0 = auto H*W)")
     return ev, stats
 
 
@@ -422,15 +441,20 @@ def simulate_stereo(scene: PlaneScene, K: np.ndarray, width: int,
 def write_calib_yaml(path: str, K: np.ndarray, width: int, height: int,
                      baseline: float, right: bool) -> None:
     """ESVO-format calibration yaml (CameraSystem::loadCalibInfo schema,
-    CameraSystem.cpp:168-212): ideal rectified pinhole, zero distortion."""
-    fx, fy = K[0, 0], K[1, 1]
-    cx, cy = K[0, 2], K[1, 2]
+    CameraSystem.cpp:168-212): ideal rectified pinhole, zero distortion.
+
+    All values are coerced to builtin float/int: yaml.safe_dump refuses
+    numpy scalars (RepresenterError), and K almost always arrives as an
+    ndarray."""
+    fx, fy = float(K[0, 0]), float(K[1, 1])
+    cx, cy = float(K[0, 2]), float(K[1, 2])
+    baseline = float(baseline)
     tx = -fx * baseline if right else 0.0
     P = [fx, 0.0, cx, tx, 0.0, fy, cy, 0.0, 0.0, 0.0, 1.0, 0.0]
     T_rl = [1.0, 0.0, 0.0, -baseline,
             0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0]
     data = {
-        "image_width": width, "image_height": height,
+        "image_width": int(width), "image_height": int(height),
         "camera_matrix": {"rows": 3, "cols": 3,
                           "data": [fx, 0.0, cx, 0.0, fy, cy,
                                    0.0, 0.0, 1.0]},

@@ -212,6 +212,15 @@ class PoseGraphLoop:
             stats.update(self._optimize())
         return stats
 
+    def loop_edges(self):
+        """[(t_i, t_j, T_ij (4, 4))] of the accepted loop edges (ICP-gate
+        survivors), stamped with their keyframes' tick times — the raw
+        material for campaign-level false-positive accounting against
+        ground truth."""
+        return [(float(self._kfs[i][0]), float(self._kfs[j][0]),
+                 np.asarray(T, np.float64))
+                for (i, j, T) in self._loop_edges]
+
     def optimized_trajectory(self):
         """(times (K,), T_world (K, 4, 4)) of the keyframe chain."""
         if not self._kfs:

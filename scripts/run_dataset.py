@@ -373,6 +373,7 @@ def main(argv=None):
         result["ba_runs"] = backend.num_ba_runs
     if pose_graph is not None:
         result["loop_closures"] = pose_graph.num_loop_closures
+        result["loop_edges"] = pose_graph.loop_edges()
         # the pose-graph redistributes drift across the whole keyframe
         # chain; apply_world_correction only moves the live pose, so the
         # optimized trajectory is a separate (better) artifact
