@@ -92,6 +92,11 @@ def parse_args(argv=None):
     ap.add_argument("--debug-maps",
                     help="directory: dump invDepth/stdVar/age/cost/"
                          "reprojection PNGs every mapping cycle")
+    ap.add_argument("--live-view", type=int, default=None, metavar="PORT",
+                    help="serve a live browser dashboard of the debug "
+                         "maps + system status on this port (the rviz/"
+                         "rqt analogue, utils/live_view.py; open "
+                         "http://localhost:PORT)")
     ap.add_argument("--save-depth-maps",
                     help="directory: dump per-mapping-cycle depth-map txt "
                          "files ('x y z' per valid point, nanosecond-stamped "
@@ -231,8 +236,16 @@ def main(argv=None):
         from esvo_tpu.parallel.sharding import make_mesh
         mesh = make_mesh(args.devices)
     system = EsvoSystem(rig, cfg,
-                        emit_debug_maps=bool(args.debug_maps),
+                        emit_debug_maps=bool(args.debug_maps
+                                             or args.live_view),
                         mesh=mesh)
+    viewer = None
+    if args.live_view is not None:
+        from esvo_tpu.utils.live_view import LiveViewer
+        viewer = LiveViewer(port=args.live_view)
+        if not args.quiet:
+            print(f"[run_dataset] live view: "
+                  f"http://localhost:{viewer.port}/")
     backend = None
     if args.ba:
         from esvo_tpu.runtime.backend_loop import BackendLoop
@@ -332,6 +345,14 @@ def main(argv=None):
                       f"edges={pg_stats['pg_num_loop_edges']}")
         if args.debug_maps and "maps" in out:
             _dump_maps(args.debug_maps, k, out["maps"])
+        if viewer is not None:
+            if "maps" in out:
+                for name, img in out["maps"].items():
+                    viewer.update(name, img)
+            viewer.update_text(
+                "status",
+                f"tick {k + step}/{len(sync_times)}  "
+                f"{out['status']}  map={out.get('map_points', 0)}")
         if args.save_depth_maps and ("bm_stats" in out
                                      or "sgm_points" in out):
             system.save_depth_map(args.save_depth_maps)
@@ -351,6 +372,9 @@ def main(argv=None):
                   f"({(k + step) / wall:.1f} ticks/s)")
         k += step
     system.flush()
+    if viewer is not None:
+        viewer.update_text("status", "done")
+        viewer.close()
 
     wall = time.perf_counter() - wall0
     system.save_trajectory(args.out)
