@@ -256,3 +256,36 @@ class SystemConfig:
                       else "forward"))
         cfg.__post_init__()
         return cfg
+
+
+def with_overrides(cfg: SystemConfig, overrides) -> SystemConfig:
+    """Apply ``section.field=value`` override strings on top of a loaded
+    config — the analogue of rosparam/launch-file per-run overrides
+    (reference launch files remap single parameters over the YAML base,
+    e.g. launch/system/system_rpg.launch:37-58). Values parse as YAML
+    scalars. Unknown sections/fields raise with the valid choices."""
+    import yaml
+
+    groups: dict = {}
+    sections = {f.name for f in dataclasses.fields(cfg)}
+    for ov in overrides or []:
+        key, sep, val = ov.partition("=")
+        if not sep:
+            raise ValueError(f"--set wants section.field=value, got {ov!r}")
+        sec, sep2, field = key.partition(".")
+        if not sep2 or sec not in sections:
+            raise ValueError(
+                f"unknown config section in {ov!r}; sections: "
+                f"{sorted(sections)}")
+        sub = getattr(cfg, sec)
+        names = {f.name for f in dataclasses.fields(sub)}
+        if field not in names:
+            raise ValueError(
+                f"unknown field {field!r} in section {sec!r}; fields: "
+                f"{sorted(names)}")
+        groups.setdefault(sec, {})[field] = yaml.safe_load(val)
+    repl = {sec: dataclasses.replace(getattr(cfg, sec), **kv)
+            for sec, kv in groups.items()}
+    out = dataclasses.replace(cfg, **repl)
+    out.__post_init__()
+    return out

@@ -65,6 +65,13 @@ def parse_args(argv=None):
                     "(rpg/upenn/hkust/dsec/simulation, see configs/) or a "
                     "path to a native-schema YAML; overridden by the "
                     "reference-format --*-yaml flags when those are given")
+    ap.add_argument("--set", dest="overrides", action="append",
+                    metavar="SECTION.FIELD=VALUE",
+                    help="override one config field on top of the "
+                         "preset/YAMLs (repeatable; e.g. --set "
+                         "bm.zncc_threshold=0.25 --set "
+                         "mapping.process_event_num=8192) — the "
+                         "launch-file parameter-remap analogue")
     ap.add_argument("--mapping-yaml", help="reference mapping cfg YAML")
     ap.add_argument("--tracking-yaml", help="reference tracking cfg YAML")
     ap.add_argument("--ts-yaml", help="reference time-surface cfg YAML")
@@ -226,6 +233,9 @@ def main(argv=None):
     else:
         cfg = SystemConfig.from_yaml(args.mapping_yaml, args.tracking_yaml,
                                      args.ts_yaml)
+    if args.overrides:
+        from esvo_tpu.runtime.config import with_overrides
+        cfg = with_overrides(cfg, args.overrides)
 
     ev_l, ev_r, gt_times, gt_poses = load_events(args)
     if args.mode == "mvstereo" and gt_times is None:

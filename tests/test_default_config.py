@@ -126,3 +126,26 @@ def test_denoiser_removes_hot_pixels(noisy_world):
     # some events dropped (noise), but a meaningful share of real edge
     # events kept — the synthetic edges are locally dense
     assert 0.1 < kept.mean() < 1.0
+
+
+def test_with_overrides():
+    """--set section.field=value overrides (run_dataset; the launch-file
+    parameter-remap analogue)."""
+    from esvo_tpu.runtime.config import with_overrides
+    cfg = SystemConfig.from_preset("simulation")
+    out = with_overrides(cfg, ["bm.zncc_threshold=0.25",
+                               "mapping.process_event_num=8192",
+                               "surface.ignore_polarity=false"])
+    assert out.bm.zncc_threshold == 0.25
+    assert out.mapping.process_event_num == 8192
+    assert out.surface.ignore_polarity is False
+    assert cfg.bm.zncc_threshold == 0.1          # original untouched
+    # ls_norm coherence re-propagates through __post_init__
+    out2 = with_overrides(cfg, ["depth.ls_norm=l2"])
+    assert out2.fusion.ls_norm == "l2"
+    with pytest.raises(ValueError, match="unknown config section"):
+        with_overrides(cfg, ["nope.x=1"])
+    with pytest.raises(ValueError, match="unknown field"):
+        with_overrides(cfg, ["bm.nope=1"])
+    with pytest.raises(ValueError, match="section.field=value"):
+        with_overrides(cfg, ["bm.zncc_threshold"])
