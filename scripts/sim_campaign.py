@@ -186,6 +186,13 @@ def run_system(args):
         argv += ["--ba"]
     if not args.no_loop_closure:
         argv += ["--loop-closure"]
+    # the "simulation" preset disables the median blur for the sparse
+    # segment-edge streams of io/synthetic; esim streams are
+    # sensor-realistic and need the reference's time-surface setting
+    # (ts_parameters.yaml: median_blur_kernel_size 1) — without it the
+    # dense-BM ZNCC matches <1% at the reference threshold (dotty
+    # unblurred surfaces decorrelate between the stereo views)
+    argv += ["--set", "surface.median_blur_kernel_size=1"]
     for ov in args.overrides:
         argv += ["--set", ov]
     return run_dataset.main(argv), depth_dir
