@@ -52,8 +52,19 @@ class BackendLoop:
         # copy would go stale the moment BA updates the pose)
         self._kfs: list[tuple] = []
         self.num_ba_runs = 0
+        self.num_rejected_corrections = 0
         self.last_correction = np.eye(4)
         self._seen_reset = getattr(system, "reset_count", 0)
+        # plausibility gate on the fold-back correction: between two BA
+        # updates (a fraction of a second) genuine tracker drift is
+        # millimetres/milliradians, so a large correction means the BA
+        # solve itself diverged (bad associations off a collapsed map) —
+        # folding it in would teleport the world frame and the error
+        # COMPOUNDS across runs (observed: 93 ungated corrections moved
+        # a +-1 m trajectory 1500 m). Reject instead of clamp: a diverged
+        # solve carries no usable direction.
+        self.max_correction_trans = 0.05   # m
+        self.max_correction_rot = 0.05     # rad
 
     def _sample_keyframe(self):
         """Sample the current depth frame's best points + their pixels."""
@@ -132,6 +143,19 @@ class BackendLoop:
         T_old = self._kfs[-1][1]
         T_new = np.asarray(prob.T_world_kf[-1], np.float64)
         corr = T_new @ np.linalg.inv(T_old)
+        c = np.asarray(costs)
+        stats = {"ba_cost_initial": float(c[0]),
+                 "ba_cost_final": float(c[-1]),
+                 "num_keyframes": graph.num_keyframes,
+                 "num_points": graph.num_points,
+                 "multiview_fraction": graph.multiview_fraction()}
+        if not self._accept_correction(corr, c):
+            self.num_rejected_corrections += 1
+            stats["ba_correction_rejected"] = True
+            # drop the window: its associations produced a diverged
+            # solve, and re-optimizing the same data would re-diverge
+            self._kfs = self._kfs[-1:]
+            return stats
         self.last_correction = corr
         sys.apply_world_correction(corr)
         # refresh stored keyframe poses with the refined ones (their
@@ -139,11 +163,22 @@ class BackendLoop:
         self._kfs = [(t, np.asarray(Tk, np.float64), p_cam, uv, ok)
                      for (t, _, p_cam, uv, ok), Tk
                      in zip(self._kfs, np.asarray(prob.T_world_kf))]
-        c = np.asarray(costs)
-        return {"ba_cost_initial": float(c[0]), "ba_cost_final": float(c[-1]),
-                "num_keyframes": graph.num_keyframes,
-                "num_points": graph.num_points,
-                "multiview_fraction": graph.multiview_fraction()}
+        return stats
+
+    def _accept_correction(self, corr: np.ndarray, costs: np.ndarray) \
+            -> bool:
+        """Plausibility gate (see __init__): finite, cost non-increasing,
+        and within the drift bound a fraction-of-a-second window can
+        physically accumulate."""
+        if not np.isfinite(corr).all() or not np.isfinite(costs).all():
+            return False
+        if costs[-1] > costs[0]:
+            return False
+        dt = float(np.linalg.norm(corr[:3, 3]))
+        ang = float(np.arccos(np.clip(
+            (np.trace(corr[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)))
+        return dt <= self.max_correction_trans \
+            and ang <= self.max_correction_rot
 
     # -- checkpoint / resume (keyframes are ragged: concatenated + offsets)
     _CKPT_FILE = "backend_ba.npz"

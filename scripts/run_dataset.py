@@ -405,6 +405,8 @@ def main(argv=None):
               "stats": system.stats}
     if backend is not None:
         result["ba_runs"] = backend.num_ba_runs
+        result["ba_rejected_corrections"] = \
+            backend.num_rejected_corrections
     if pose_graph is not None:
         result["loop_closures"] = pose_graph.num_loop_closures
         result["loop_edges"] = pose_graph.loop_edges()

@@ -181,3 +181,36 @@ def test_ba_reduces_drift_ate():
     ate_after = pose_ate(prob2.T_world_kf)
     print(f"window ATE: drifted {ate_before:.4f} m -> BA {ate_after:.4f} m")
     assert ate_after < 0.3 * ate_before, (ate_before, ate_after)
+
+
+def test_ba_correction_gate():
+    """A diverged BA solve must not teleport the world frame: the
+    fold-back correction is gated on finiteness, cost reduction, and a
+    physical drift bound (93 ungated corrections moved a +-1 m campaign
+    trajectory 1500 m)."""
+    from esvo_tpu.geometry.camera import make_ideal_rig
+    from esvo_tpu.runtime.config import SystemConfig
+    from esvo_tpu.runtime.system import EsvoSystem
+    from esvo_tpu.runtime.backend_loop import BackendLoop
+    rig = make_ideal_rig(64, 48, 50.0, 50.0, 31.5, 23.5, 0.1)
+    loop = BackendLoop(EsvoSystem(rig, SystemConfig()))
+
+    good = np.eye(4)
+    good[:3, 3] = [0.01, 0.0, -0.02]
+    costs_down = np.array([5.0, 1.0])
+    assert loop._accept_correction(good, costs_down)
+
+    far = np.eye(4)
+    far[:3, 3] = [3.0, 0.0, 0.0]
+    assert not loop._accept_correction(far, costs_down)
+
+    th = 0.2   # 0.2 rad rotation > 0.05 gate
+    rot = np.eye(4)
+    rot[:3, :3] = np.array([[np.cos(th), -np.sin(th), 0],
+                            [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    assert not loop._accept_correction(rot, costs_down)
+
+    assert not loop._accept_correction(good, np.array([1.0, 5.0]))  # worse
+    bad = good.copy()
+    bad[0, 3] = np.nan
+    assert not loop._accept_correction(bad, costs_down)
