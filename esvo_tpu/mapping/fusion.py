@@ -297,8 +297,13 @@ def fuse_frame(grid: DepthGrid, cand: Candidates, camera: Camera,
     # per channel: a single (C, M) -> slots scatter composed with a
     # gather-pack makes XLA pick a layout that serializes the scatter
     # (~21 ns/update, 33 ms at DSEC scale); per-channel flat scatters
-    # with the shared index vector run at full scatter throughput
-    # (~0.05 ms measured for 12 x 131k updates)
+    # with the shared index vector run at full scatter throughput.
+    # Only 8 channels are scattered: the candidate's p_cam is recomputed
+    # in the fold by back-projecting (x, invD) — exact, because
+    # propagate_points produced x by projecting p_cam — and validity is
+    # invD > 0 (every candidate surviving propagation has positive
+    # inverse depth; empty slots stay at the 0 fill). 33% less scatter
+    # traffic on the stage's dominant cost.
     def scat(src):
         return jnp.zeros((H * W * K,), dt) \
             .at[slot_idx].set(src.astype(dt), mode="drop") \
@@ -313,10 +318,6 @@ def fuse_frame(grid: DepthGrid, cand: Candidates, camera: Camera,
         scat(tiled.age.astype(dt)),
         scat(tiled.x[:, 0]),
         scat(tiled.x[:, 1]),
-        scat(tiled.p_cam[:, 0]),
-        scat(tiled.p_cam[:, 1]),
-        scat(tiled.p_cam[:, 2]),
-        scat(tiled.valid.astype(dt)),
     ]
 
     P = camera.params.P
@@ -355,10 +356,10 @@ def fuse_frame(grid: DepthGrid, cand: Candidates, camera: Camera,
         c_age = buf[5][k].astype(jnp.int32)
         c_x0 = buf[6][k]
         c_x1 = buf[7][k]
-        c_p0 = buf[8][k]
-        c_p1 = buf[9][k]
-        c_p2 = buf[10][k]
-        c_ok = buf[11][k] > 0.5
+        c_ok = c_invD > 0.0
+        # candidate 3D point, recomputed instead of scattered (see buf)
+        c_p0, c_p1, c_p2 = back_project_planes(
+            c_x0, c_x1, jnp.maximum(c_invD, 1e-12))
 
         occ = g["invD"] > _OCC_EPS
         # --- case 1: empty cell -> insert at pixel centre
@@ -453,7 +454,9 @@ def naive_fuse_frame(grid: DepthGrid, cand: Candidates, camera: Camera,
     dt = tiled.inv_depth.dtype
 
     # per-channel flat scatters (see fuse_frame: a packed multi-channel
-    # scatter after the gather-pack serializes on TPU)
+    # scatter after the gather-pack serializes on TPU). As in fuse_frame,
+    # p_cam is recomputed from (x, invD) instead of scattered, and
+    # validity is invD > 0 — 6 channels instead of 8.
     def scat(src):
         return jnp.zeros((H * W * K,), dt) \
             .at[slot_idx].set(src.astype(dt), mode="drop") \
@@ -464,20 +467,19 @@ def naive_fuse_frame(grid: DepthGrid, cand: Candidates, camera: Camera,
         scat(tiled.variance),
         scat(tiled.residual),
         scat(tiled.age.astype(dt)),
-        scat(tiled.p_cam[:, 0]),
-        scat(tiled.p_cam[:, 1]),
-        scat(tiled.p_cam[:, 2]),
-        scat(tiled.valid.astype(dt)),
+        scat(tiled.x[:, 0]),
+        scat(tiled.x[:, 1]),
     ]
 
     P = camera.params.P
     for k in range(K):
-        c_ok = buf[7][k] > 0.5
         c_invD = buf[0][k]
+        c_ok = c_invD > 0.0
         c_var = buf[1][k]
         c_res = buf[2][k]
         c_age = buf[3][k].astype(jnp.int32)
-        c_p = jnp.stack([buf[4][k], buf[5][k], buf[6][k]], axis=-1)
+        c_x = jnp.stack([buf[4][k], buf[5][k]], axis=-1)
+        c_p = cam_to_world(P, c_x, jnp.maximum(c_invD, 1e-12))
         occ = grid.occupied
         ins = c_ok & ~occ
         # occupied: skip if existing point is closer (larger invDepth);
