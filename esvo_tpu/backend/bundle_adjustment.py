@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from esvo_tpu.geometry.se3 import cayley_to_rot, orthonormalize_rotation
+from esvo_tpu.utils.precision import highest_precision
 
 
 @struct.dataclass
@@ -74,6 +75,7 @@ def _inv3_batched(A):
     return co / det[..., None, None]
 
 
+@highest_precision
 def reprojection_residuals(prob: BAProblem):
     """(M, 2) residuals + per-observation Jacobians.
 
@@ -123,6 +125,7 @@ def reprojection_residuals(prob: BAProblem):
         jnp.where(mask[..., None], Jp, 0.0), ok
 
 
+@highest_precision
 def assemble_normal_equations(prob: BAProblem, cfg: BAConfig,
                               axis_name=None):
     """Weighted GN normal-equation blocks via segment sums.
@@ -163,6 +166,7 @@ def assemble_normal_equations(prob: BAProblem, cfg: BAConfig,
     return B, C, gc, gp, E_obs, cost
 
 
+@highest_precision
 def _gn_step(prob: BAProblem, cfg: BAConfig, lam, axis_name=None):
     """One damped Schur-complement GN step. Returns (dx_poses (K,6),
     dpoints (P,3), cost).
@@ -228,6 +232,7 @@ def _gn_step(prob: BAProblem, cfg: BAConfig, lam, axis_name=None):
     return dx_poses, dpoints, cost
 
 
+@highest_precision
 def _apply(prob: BAProblem, dx_poses, dpoints, cfg: BAConfig):
     def upd_pose(T, dx):
         dR = cayley_to_rot(dx[:3])
@@ -242,6 +247,7 @@ def _apply(prob: BAProblem, dx_poses, dpoints, cfg: BAConfig):
     return prob.replace(T_world_kf=T_new, points=prob.points + dpoints)
 
 
+@highest_precision
 def _cost_only(prob: BAProblem, cfg: BAConfig, axis_name=None):
     r, _, _, ok = reprojection_residuals(prob)
     rn = jnp.linalg.norm(r, axis=1)

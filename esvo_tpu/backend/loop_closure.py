@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from esvo_tpu.tracking import registration as reg
+from esvo_tpu.utils.precision import highest_precision
 
 
 @dataclasses.dataclass(frozen=True)
@@ -164,6 +165,7 @@ def verify_loop(points_world: jax.Array, point_valid: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
+@highest_precision
 def icp_align(pts_a: jax.Array, valid_a: jax.Array, pts_b: jax.Array,
               valid_b: jax.Array, T_ab0: jax.Array,
               max_corr_dist: float, iters: int = 10):

@@ -31,6 +31,7 @@ from flax import struct
 
 from esvo_tpu.geometry.se3 import (
     se3_exp, se3_log, se3_inverse, orthonormalize_rotation_fast)
+from esvo_tpu.utils.precision import highest_precision
 
 
 @struct.dataclass
@@ -67,6 +68,7 @@ def _edge_residual(xi2, T_i, T_j, T_ij_inv, sqw):
     return sqw * se3_log(T_ij_inv @ se3_inverse(Ti) @ Tj)
 
 
+@highest_precision
 def edge_residuals_and_jacobians(graph: PoseGraph):
     """(E, 6) weighted residuals + (E, 6, 12) Jacobians w.r.t. the two
     incident twists, evaluated at xi = 0 (batched jacfwd)."""
@@ -99,6 +101,7 @@ def _robust_weights_and_cost(r, graph: PoseGraph, cfg: PoseGraphConfig,
     return w, psum(jnp.sum(w * rn * rn))
 
 
+@highest_precision
 def _normal_equations(graph: PoseGraph, cfg: PoseGraphConfig,
                       axis_name=None):
     """Dense (6K, 6K) H, (6K,) g and the robust cost, assembled with one
@@ -127,6 +130,7 @@ def _normal_equations(graph: PoseGraph, cfg: PoseGraphConfig,
     return H, g, cost
 
 
+@highest_precision
 def _cost_only(graph: PoseGraph, cfg: PoseGraphConfig, axis_name=None):
     psum = ((lambda x: jax.lax.psum(x, axis_name)) if axis_name
             else (lambda x: x))
@@ -139,6 +143,7 @@ def _cost_only(graph: PoseGraph, cfg: PoseGraphConfig, axis_name=None):
     return cost
 
 
+@highest_precision
 def _apply(graph: PoseGraph, dx, cfg: PoseGraphConfig):
     K = graph.T_world.shape[0]
     fixed = jnp.arange(K) < cfg.num_fixed_poses

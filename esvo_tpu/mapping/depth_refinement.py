@@ -215,9 +215,12 @@ def _warp_positions(d, coord, T_left_virtual, P_left, P_right):
     """Projections of the event into both surfaces at inverse depth d
     (DepthProblem::warping geometry, DepthProblem.cpp:162-191)."""
     p_rv = cam_to_world(P_left, coord, d)
-    p_left = T_left_virtual[:3, :3] @ p_rv + T_left_virtual[:3, 3]
-    x1h = P_left[:, :3] @ p_left + P_left[:, 3]
-    x2h = P_right[:, :3] @ p_left + P_right[:, 3]
+    p_left = jnp.matmul(T_left_virtual[:3, :3], p_rv,
+                        precision="highest") + T_left_virtual[:3, 3]
+    x1h = jnp.matmul(P_left[:, :3], p_left, precision="highest") \
+        + P_left[:, 3]
+    x2h = jnp.matmul(P_right[:, :3], p_left, precision="highest") \
+        + P_right[:, 3]
     return x1h[:2] / x1h[2], x2h[:2] / x2h[2]
 
 

@@ -113,8 +113,10 @@ def propagate_points(est: DepthEstimates, T_frame_world: jax.Array,
     W, H = camera.width, camera.height
     P = camera.params.P
 
-    T = jnp.einsum("ij,njk->nik", T_frame_world, est.T_world_cam)  # (N,4,4)
-    p = jnp.einsum("nij,nj->ni", T[:, :3, :3], est.p_cam) + T[:, :3, 3]
+    T = jnp.einsum("ij,njk->nik", T_frame_world, est.T_world_cam,
+                  precision="highest")  # (N,4,4)
+    p = jnp.einsum("nij,nj->ni", T[:, :3, :3], est.p_cam,
+                  precision="highest") + T[:, :3, 3]
     x_prop = world_to_cam(P, p)
     ok = (est.valid & (x_prop[:, 0] >= 0) & (x_prop[:, 0] < W)
           & (x_prop[:, 1] >= 0) & (x_prop[:, 1] < H) & (p[:, 2] > 1e-6))
@@ -531,6 +533,6 @@ def clean_grid(grid: DepthGrid, var_threshold: float, age_threshold: int,
 def grid_points_world(grid: DepthGrid, T_world_frame: jax.Array):
     """All grid points in world coordinates + validity mask (the mapper's
     point-cloud publisher, esvo_Mapping.cpp:909-978)."""
-    p = jnp.einsum("ij,hwj->hwi", T_world_frame[:3, :3], grid.p_cam) \
-        + T_world_frame[:3, 3]
+    p = jnp.einsum("ij,hwj->hwi", T_world_frame[:3, :3], grid.p_cam,
+                  precision="highest") + T_world_frame[:3, 3]
     return p, grid.occupied

@@ -121,8 +121,10 @@ def sharded_tracking_step(mesh: Mesh, camera: Camera,
         else:
             J = reg.analytic_jacobian(prob, pts, ok, camera, cfg)
         f = fvec.reshape(-1)
-        H = jax.lax.psum(J.T @ J, EVENT_AXIS)
-        g = jax.lax.psum(J.T @ f, EVENT_AXIS)
+        H = jax.lax.psum(jnp.matmul(J.T, J, precision="highest"),
+                         EVENT_AXIS)
+        g = jax.lax.psum(jnp.matmul(J.T, f, precision="highest"),
+                         EVENT_AXIS)
         cost = jax.lax.psum(jnp.sum(f * f), EVENT_AXIS)
         damp = cfg.lm_damping * jnp.diag(jnp.diag(H)) \
             + 1e-12 * jnp.eye(6, dtype=R.dtype)

@@ -238,7 +238,8 @@ class EsvoSystem:
         # history frames carry world poses per point
         self.history = self.history.replace(
             T_world_cam=jnp.einsum("ij,fnjk->fnik", cj,
-                                   self.history.T_world_cam))
+                                   self.history.T_world_cam,
+                                   precision="highest"))
         if self._pending_mapping is not None:
             self._pending_mapping["pts"] = move_pts(
                 self._pending_mapping["pts"])
@@ -344,7 +345,8 @@ class EsvoSystem:
                 ts_l, ts_r, x_rect, x_rect, ev_t, ev_valid, rig.left.mask,
                 rig, cfg.bm)
             T_left_world = se3_inverse(T_world_frame)
-            T_lv = jnp.einsum("ij,njk->nik", T_left_world, T_wv)
+            T_lv = jnp.einsum("ij,njk->nik", T_left_world, T_wv,
+                              precision="highest")
             est = solve_fn(matches.x_left, T_wv, T_lv, matches.inv_depth,
                            matches.valid, ev_t, ts_l, ts_r)
             est = dr.point_culling(
@@ -488,7 +490,8 @@ class EsvoSystem:
                 # right surface (and the stacked per-tick copies) are
                 # rendered once from the final state after the scan
                 s_l = render(st_l, ts, rig.left, cfg.surface).astype(dt)
-                T_ref_left = T_ref_world @ T_cur.astype(dt)
+                T_ref_left = jnp.matmul(T_ref_world, T_cur.astype(dt),
+                                        precision="highest")
                 neg, gu, gv = reg.negative_time_surface(
                     s_l, cfg.tracker.kernel_size)
                 prob = reg.RegProblem(

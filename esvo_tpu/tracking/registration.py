@@ -34,6 +34,16 @@ from flax import struct
 from esvo_tpu.geometry.camera import Camera
 from esvo_tpu.geometry.se3 import (cayley_to_rot, orthonormalize_rotation,
                                   orthonormalize_rotation_fast)
+
+
+def _mv(M, v):
+    """3x3 @ 3-vector at full f32 precision (TPU matmuls default to a
+    single bf16 pass, which is fatal for pose arithmetic: the tracker's
+    increments are ~1e-3 against ~1-scale rotations, below bf16's ~3
+    significant digits — observed as wholesale tracker divergence on-chip
+    while the identical CPU run converged)."""
+    import jax.numpy as jnp
+    return jnp.matmul(M, v, precision="highest")
 from esvo_tpu.ops.interp import patch_interpolate, gather2d
 from esvo_tpu.ops.linalg import solve_spd
 from esvo_tpu.surface.time_surface import gaussian_blur, sobel_x, sobel_y
@@ -98,7 +108,8 @@ def make_problem(T_world_ref: jax.Array, T_world_cur: jax.Array,
     t = T_ref_left[:3, 3]
     Rwr = T_world_ref[:3, :3]
     twr = T_world_ref[:3, 3]
-    p_ref = jnp.einsum("ji,nj->ni", Rwr, points_world - twr)
+    p_ref = jnp.einsum("ji,nj->ni", Rwr, points_world - twr,
+                      precision="highest")
     neg, gu, gv = negative_time_surface(ts_left, cfg.kernel_size)
     return RegProblem(R=R, t=t, T_world_ref=T_world_ref, points=p_ref,
                       point_valid=point_valid, ts_negative=neg, grad_u=gu,
@@ -113,8 +124,9 @@ def warping_transformation(R: jax.Array, t: jax.Array, x: jax.Array):
     dR = cayley_to_rot(dc)
     # products of two rotations are near-orthogonal: Newton-Schulz
     # replaces the SVD (an unfusable custom call inside every LM round)
-    R_cur_ref = orthonormalize_rotation_fast(R.T @ dR.T)
-    t_cur_ref = -R_cur_ref @ (dt + dR @ t)
+    R_cur_ref = orthonormalize_rotation_fast(
+        jnp.matmul(R.T, dR.T, precision="highest"))
+    t_cur_ref = -_mv(R_cur_ref, dt + _mv(dR, t))
     return R_cur_ref, t_cur_ref
 
 
@@ -123,7 +135,8 @@ def _project_and_check(p_left: jax.Array, camera: Camera,
     """Pinhole projection + isValidPatch (RegProblemLM.cpp:380-416)."""
     P = camera.params.P
     W, H = camera.width, camera.height
-    h = jnp.einsum("ij,nj->ni", P[:, :3], p_left) + P[:, 3]
+    h = jnp.einsum("ij,nj->ni", P[:, :3], p_left,
+                   precision="highest") + P[:, 3]
     x1 = h[:, :2] / h[:, 2:3]
     hx = (cfg.patch_size_x - 1) // 2
     hy = (cfg.patch_size_y - 1) // 2
@@ -153,7 +166,8 @@ def residuals_and_weights(prob: RegProblem, x: jax.Array, points: jax.Array,
     """
     wx, wy = cfg.patch_size_x, cfg.patch_size_y
     Rw, tw = warping_transformation(prob.R, prob.t, x)
-    p_left = jnp.einsum("ij,nj->ni", Rw, points) + tw
+    p_left = jnp.einsum("ij,nj->ni", Rw, points,
+                        precision="highest") + tw
     x1, ok = _project_and_check(p_left, camera, cfg)
     patch, ok_p = patch_interpolate(prob.ts_negative, x1, wy, wx)
     ok = ok & ok_p & valid
@@ -184,7 +198,8 @@ def analytic_jacobian(prob: RegProblem, points: jax.Array, valid: jax.Array,
         "analytic Jacobian implemented for 1x1 patches (reference default)"
     P = camera.params.P
     Rt = prob.R.T
-    p_left = jnp.einsum("ij,nj->ni", Rt, points - prob.t)
+    p_left = jnp.einsum("ij,nj->ni", Rt, points - prob.t,
+                        precision="highest")
     x1, ok = _project_and_check(p_left, camera, cfg)
     gu, _ = patch_interpolate(prob.grad_u, x1, 1, 1)
     gv, okg = patch_interpolate(prob.grad_v, x1, 1, 1)
@@ -211,11 +226,13 @@ def analytic_jacobian(prob: RegProblem, points: jax.Array, valid: jax.Array,
     ], axis=-2)                                    # (B, 3, 3) = [p]x rows
     # e_k x p = -[p]x e_k -> stack over k gives +[p]x as columns... compute
     # directly: d/dc (B, 3, 3) with column k = -2 R^T (e_k x p) = 2 R^T [p]x e_k
-    dp_dc = 2.0 * jnp.einsum("ij,njk->nik", Rt, cross)
+    dp_dc = 2.0 * jnp.einsum("ij,njk->nik", Rt, cross,
+                              precision="highest")
     dp_dt = -jnp.broadcast_to(Rt, dp_dc.shape)
     dp_dx = jnp.concatenate([dp_dc, dp_dt], axis=-1)  # (B, 3, 6)
 
-    J = jnp.einsum("ni,nij,njk->nk", grad, dPi, dp_dx)  # (B, 6)
+    J = jnp.einsum("ni,nij,njk->nk", grad, dPi, dp_dx,
+                   precision="highest")  # (B, 6)
     return jnp.where(ok[:, None], J, 0.0)
 
 
@@ -245,8 +262,9 @@ def add_motion_update(R: jax.Array, t: jax.Array, dx: jax.Array):
     """Fold an increment into (R, t) (addMotionUpdate,
     RegProblemLM.cpp:348-360)."""
     dR = cayley_to_rot(dx[:3])
-    R_new = orthonormalize_rotation_fast(dR @ R)
-    t_new = dx[3:] + dR @ t
+    R_new = orthonormalize_rotation_fast(
+        jnp.matmul(dR, R, precision="highest"))
+    t_new = dx[3:] + _mv(dR, t)
     return R_new, t_new
 
 
@@ -256,8 +274,9 @@ def pose_of(prob: RegProblem) -> jax.Array:
     Rwr = prob.T_world_ref[:3, :3]
     twr = prob.T_world_ref[:3, 3]
     T = jnp.eye(4, dtype=prob.R.dtype)
-    T = T.at[:3, :3].set(Rwr @ prob.R)
-    T = T.at[:3, 3].set(Rwr @ prob.t + twr)
+    T = T.at[:3, :3].set(jnp.matmul(Rwr, prob.R,
+                                    precision="highest"))
+    T = T.at[:3, 3].set(_mv(Rwr, prob.t) + twr)
     return T
 
 
@@ -299,8 +318,8 @@ def solve(prob: RegProblem, camera: Camera, cfg: RegProblemConfig):
             J = numerical_jacobian(p, pts, val, camera, cfg)
         else:
             J = analytic_jacobian(p, pts, val, camera, cfg)
-        g = J.T @ f
-        H = J.T @ J
+        g = jnp.matmul(J.T, f, precision="highest")
+        H = jnp.matmul(J.T, J, precision="highest")
         damp = lam * jnp.diag(jnp.diag(H)) + 1e-12 * jnp.eye(6, dtype=dtype)
         # unrolled Cholesky fuses into the scan body (LU custom call won't)
         dx = -solve_spd(H + damp, g)

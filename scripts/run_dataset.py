@@ -132,6 +132,10 @@ def parse_args(argv=None):
     ap.add_argument("--loop-every", type=int, default=5,
                     help="keyframe cadence (mapping cycles) for the "
                          "loop-closure database")
+    ap.add_argument("--lc-min-similarity", type=float, default=None,
+                    help="override the loop-closure descriptor cosine "
+                         "gate (default 0.90; the ICP geometric gate "
+                         "still verifies every candidate)")
     ap.add_argument("--ba", action="store_true",
                     help="run the sliding-window bundle-adjustment "
                          "backend (a capability beyond the reference)")
@@ -264,8 +268,14 @@ def main(argv=None):
     pose_graph = None
     if args.loop_closure:
         from esvo_tpu.runtime.pose_graph_loop import PoseGraphLoop
+        lc_cfg = None
+        if args.lc_min_similarity is not None:
+            import dataclasses as _dc
+            from esvo_tpu.backend import loop_closure as _lc
+            lc_cfg = _dc.replace(_lc.LoopClosureConfig(),
+                                 min_similarity=args.lc_min_similarity)
         pose_graph = PoseGraphLoop(system, keyframe_every=args.loop_every,
-                                   mesh=mesh)
+                                   lc_config=lc_cfg, mesh=mesh)
 
     tick_rate = args.tick_rate_hz or cfg.tracking.tracking_rate_hz
     tick = 1.0 / tick_rate
@@ -348,11 +358,20 @@ def main(argv=None):
             backend.maybe_update(out)
         if pose_graph is not None:
             pg_stats = pose_graph.maybe_update(out)
-            if pg_stats and not args.quiet \
-                    and "pg_cost_final" in pg_stats:
-                print(f"  loop closure: kf {pg_stats['lc_candidate']} "
-                      f"sim={pg_stats['lc_similarity']:.3f} "
-                      f"edges={pg_stats['pg_num_loop_edges']}")
+            if pg_stats and not args.quiet:
+                if "pg_cost_final" in pg_stats:
+                    print(f"  loop closure: kf {pg_stats['lc_candidate']} "
+                          f"sim={pg_stats['lc_similarity']:.3f} "
+                          f"edges={pg_stats['pg_num_loop_edges']}")
+                elif "lc_inlier_fraction" in pg_stats:
+                    # candidate cleared the descriptor gate but failed
+                    # the geometric (ICP) verification — surfaced so a
+                    # zero-closure run is diagnosable
+                    print(f"  loop candidate rejected: "
+                          f"kf {pg_stats['lc_candidate']} "
+                          f"sim={pg_stats['lc_similarity']:.3f} "
+                          f"inliers={pg_stats['lc_inlier_fraction']:.2f} "
+                          f"mean_d={pg_stats['lc_mean_dist']:.3f}")
         if args.debug_maps and "maps" in out:
             _dump_maps(args.debug_maps, k, out["maps"])
         if viewer is not None:
