@@ -50,6 +50,11 @@ class LoopClosureConfig:
     # current (recently-active-edges-only) time surface
     icp_max_corr_dist: float = 0.05     # m; correspondence/inlier radius
     icp_iters: int = 10
+    # cap on the adaptive coarse-to-fine start radius (x max_corr_dist):
+    # the capture basin must cover realistic inter-visit drift (tens of
+    # cm) but NOT be so wide that two dense clouds of different places
+    # can be pseudo-aligned from far away
+    icp_coarse_mult: float = 12.0
     # two event-camera keyframes of the same place still cover partially
     # DISJOINT edge subsets (whichever edges fired during each mapping
     # window), so the inlier gate must tolerate partial overlap
@@ -168,7 +173,8 @@ def verify_loop(points_world: jax.Array, point_valid: jax.Array,
 @highest_precision
 def icp_align(pts_a: jax.Array, valid_a: jax.Array, pts_b: jax.Array,
               valid_b: jax.Array, T_ab0: jax.Array,
-              max_corr_dist: float, iters: int = 10):
+              max_corr_dist: float, iters: int = 10,
+              coarse_mult: float = 12.0):
     """Point-to-point ICP: estimate T_ab with p_a ~ T_ab p_b.
 
     Verifying a loop by registering map points against the CURRENT time
@@ -181,6 +187,19 @@ def icp_align(pts_a: jax.Array, valid_a: jax.Array, pts_b: jax.Array,
     (N, M) distance matrix via a single matmul (MXU); the pose update is
     a weighted Kabsch fit (3x3 SVD). Fixed trip count, masked
     correspondences — no data-dependent shapes.
+
+    The correspondence radius anneals coarse-to-fine: the initial guess
+    inv(T_a_est) T_b_est carries the tracker drift accumulated BETWEEN
+    the two visits — routinely tens of centimetres on a minutes-long
+    loop — and a fixed tight radius finds zero correspondences and never
+    converges (observed: every genuine lap revisit of the 64 s campaign
+    rejected with inlier_fraction 0.0). The start radius adapts to the
+    measured initial misalignment (2x the median initial NN distance),
+    so a well-initialized alignment anneals from ~max_corr_dist and
+    behaves exactly like the fixed-radius ICP, while a drifted one gets
+    a basin wide enough to capture. The inlier gate at the end still
+    uses the tight final radius, so disjoint-place clouds are rejected
+    exactly as before.
 
     Returns (T_ab (4, 4), inlier_fraction, mean_inlier_dist).
     """
@@ -198,10 +217,10 @@ def icp_align(pts_a: jax.Array, valid_a: jax.Array, pts_b: jax.Array,
         d = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=0), 0.0))
         return idx, d
 
-    def body(T, _):
+    def body(T, radius):
         pb_t = pts_b @ T[:3, :3].T + T[:3, 3]
         idx, d = nn(pb_t)
-        w = (valid_b & (d < max_corr_dist)).astype(dt)
+        w = (valid_b & (d < radius)).astype(dt)
         wsum = jnp.maximum(jnp.sum(w), 1e-6)
         tgt = pts_a[idx]                                  # (M, 3)
         ca = jnp.sum(w[:, None] * tgt, axis=0) / wsum
@@ -215,7 +234,17 @@ def icp_align(pts_a: jax.Array, valid_a: jax.Array, pts_b: jax.Array,
         T_new = jnp.eye(4, dtype=dt).at[:3, :3].set(R).at[:3, 3].set(t)
         return T_new @ T, None
 
-    T, _ = jax.lax.scan(body, T0, None, length=iters)
+    # adaptive coarse-to-fine radius schedule (see docstring), capped so
+    # clouds of genuinely different places stay uncapturable
+    pb0 = pts_b @ T0[:3, :3].T + T0[:3, 3]
+    _, d0 = nn(pb0)
+    med0 = jnp.nanquantile(jnp.where(valid_b, d0, jnp.nan), 0.5)
+    med0 = jnp.where(jnp.isfinite(med0), med0, 0.0)
+    r0 = jnp.clip(2.0 * med0, max_corr_dist,
+                  coarse_mult * max_corr_dist)
+    radii = jnp.maximum(r0 * 0.5 ** jnp.arange(iters, dtype=dt),
+                        max_corr_dist)
+    T, _ = jax.lax.scan(body, T0, radii)
     pb_t = pts_b @ T[:3, :3].T + T[:3, 3]
     _, d = nn(pb_t)
     inl = valid_b & (d < max_corr_dist)
@@ -240,7 +269,8 @@ def verify_loop_icp(p_cand: jax.Array, valid_cand: jax.Array,
     Tb = np.asarray(T_world_cur_est, np.float64)
     T0 = jnp.asarray(np.linalg.inv(Ta) @ Tb, p_cand.dtype)
     T, frac, mean_d = icp_align(p_cand, valid_cand, p_cur, valid_cur, T0,
-                                cfg.icp_max_corr_dist, cfg.icp_iters)
+                                cfg.icp_max_corr_dist, cfg.icp_iters,
+                                cfg.icp_coarse_mult)
     frac = float(frac)
     mean_d = float(mean_d)
     ok = (frac >= cfg.icp_min_inlier_fraction
