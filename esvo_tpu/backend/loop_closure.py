@@ -61,6 +61,14 @@ class LoopClosureConfig:
     # (disjoint-place clouds score < 0.2 on the same gate)
     icp_min_inlier_fraction: float = 0.30
     icp_max_mean_dist: float = 0.02     # m; mean inlier residual gate
+    # drift-plausibility gate on the accepted edge: the ICP correction
+    # relative to the odometry guess is bounded by the drift two visits
+    # can physically accumulate — a larger "correction" means the
+    # dual-start glued clouds of different places (dense clouds of the
+    # same density can pseudo-align once the centroid start overlaps
+    # them, with inlier stats near the accept region)
+    icp_max_correction_trans: float = 1.0   # m
+    icp_max_correction_rot: float = 0.5     # rad
     # information weights of an accepted loop edge (pose-graph units)
     w_rot: float = 200.0
     w_trans: float = 200.0
@@ -169,12 +177,13 @@ def verify_loop(points_world: jax.Array, point_valid: jax.Array,
     return ok, np.asarray(T_est, np.float64), final_rms
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "centroid_init"))
 @highest_precision
 def icp_align(pts_a: jax.Array, valid_a: jax.Array, pts_b: jax.Array,
               valid_b: jax.Array, T_ab0: jax.Array,
               max_corr_dist: float, iters: int = 10,
-              coarse_mult: float = 12.0):
+              coarse_mult: float = 12.0, centroid_init: bool = False):
     """Point-to-point ICP: estimate T_ab with p_a ~ T_ab p_b.
 
     Verifying a loop by registering map points against the CURRENT time
@@ -234,6 +243,24 @@ def icp_align(pts_a: jax.Array, valid_a: jax.Array, pts_b: jax.Array,
         T_new = jnp.eye(4, dtype=dt).at[:3, :3].set(R).at[:3, 3].set(t)
         return T_new @ T, None
 
+    if centroid_init:
+        # centroid pre-alignment: a descriptor-verified revisit sees
+        # (nearly) the same scene region, so the clouds' centroids
+        # coincide up to overlap asymmetry — subtracting the centroid gap
+        # removes the bulk of the inter-visit translation drift, which
+        # routinely exceeds the NN capture radius of semi-dense clouds
+        # (~0.1 m point spacing). Overlap asymmetry makes this WORSE than
+        # a good odometry guess, so verify_loop_icp runs both starts and
+        # keeps the better (dual-start).
+        wa = valid_a.astype(dt)
+        wb = valid_b.astype(dt)
+        ca0 = jnp.sum(wa[:, None] * pts_a, axis=0) / jnp.maximum(
+            jnp.sum(wa), 1e-6)
+        pb_raw = pts_b @ T0[:3, :3].T + T0[:3, 3]
+        cb0 = jnp.sum(wb[:, None] * pb_raw, axis=0) / jnp.maximum(
+            jnp.sum(wb), 1e-6)
+        T0 = T0.at[:3, 3].add(ca0 - cb0)
+
     # adaptive coarse-to-fine radius schedule (see docstring), capped so
     # clouds of genuinely different places stay uncapturable
     pb0 = pts_b @ T0[:3, :3].T + T0[:3, 3]
@@ -268,11 +295,28 @@ def verify_loop_icp(p_cand: jax.Array, valid_cand: jax.Array,
     Ta = np.asarray(T_world_cand, np.float64)
     Tb = np.asarray(T_world_cur_est, np.float64)
     T0 = jnp.asarray(np.linalg.inv(Ta) @ Tb, p_cand.dtype)
+    # dual-start: the raw odometry guess wins when drift is small; the
+    # centroid-pre-aligned start captures large inter-visit drift
     T, frac, mean_d = icp_align(p_cand, valid_cand, p_cur, valid_cur, T0,
                                 cfg.icp_max_corr_dist, cfg.icp_iters,
-                                cfg.icp_coarse_mult)
+                                cfg.icp_coarse_mult, centroid_init=False)
+    T2, frac2, mean_d2 = icp_align(p_cand, valid_cand, p_cur, valid_cur,
+                                   T0, cfg.icp_max_corr_dist,
+                                   cfg.icp_iters, cfg.icp_coarse_mult,
+                                   centroid_init=True)
+    if float(frac2) > float(frac) or (float(frac2) == float(frac)
+                                      and float(mean_d2) < float(mean_d)):
+        T, frac, mean_d = T2, frac2, mean_d2
     frac = float(frac)
     mean_d = float(mean_d)
+    # drift-plausibility gate (see LoopClosureConfig)
+    dT = np.linalg.inv(np.asarray(T0, np.float64)) @ np.asarray(
+        T, np.float64)
+    corr_t = float(np.linalg.norm(dT[:3, 3]))
+    corr_r = float(np.arccos(np.clip(
+        (np.trace(dT[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)))
     ok = (frac >= cfg.icp_min_inlier_fraction
-          and mean_d <= cfg.icp_max_mean_dist)
+          and mean_d <= cfg.icp_max_mean_dist
+          and corr_t <= cfg.icp_max_correction_trans
+          and corr_r <= cfg.icp_max_correction_rot)
     return ok, np.asarray(T, np.float64), frac, mean_d
