@@ -136,6 +136,11 @@ def parse_args(argv=None):
                     help="override the loop-closure descriptor cosine "
                          "gate (default 0.90; the ICP geometric gate "
                          "still verifies every candidate)")
+    ap.add_argument("--lc-set", dest="lc_overrides", action="append",
+                    default=[], metavar="FIELD=VALUE",
+                    help="override a LoopClosureConfig field (repeatable"
+                         "; e.g. --lc-set icp_max_corr_dist=0.15 to "
+                         "match a noisier map's depth-error floor)")
     ap.add_argument("--ba", action="store_true",
                     help="run the sliding-window bundle-adjustment "
                          "backend (a capability beyond the reference)")
@@ -269,11 +274,22 @@ def main(argv=None):
     if args.loop_closure:
         from esvo_tpu.runtime.pose_graph_loop import PoseGraphLoop
         lc_cfg = None
-        if args.lc_min_similarity is not None:
+        if args.lc_min_similarity is not None or args.lc_overrides:
             import dataclasses as _dc
+            import yaml as _yaml
             from esvo_tpu.backend import loop_closure as _lc
-            lc_cfg = _dc.replace(_lc.LoopClosureConfig(),
-                                 min_similarity=args.lc_min_similarity)
+            kw = {}
+            if args.lc_min_similarity is not None:
+                kw["min_similarity"] = args.lc_min_similarity
+            names = {fld.name for fld in
+                     _dc.fields(_lc.LoopClosureConfig)}
+            for ov in args.lc_overrides:
+                key, sep, val = ov.partition("=")
+                if not sep or key not in names:
+                    raise SystemExit(f"--lc-set: unknown field {ov!r}; "
+                                     f"fields: {sorted(names)}")
+                kw[key] = _yaml.safe_load(val)
+            lc_cfg = _dc.replace(_lc.LoopClosureConfig(), **kw)
         pose_graph = PoseGraphLoop(system, keyframe_every=args.loop_every,
                                    lc_config=lc_cfg, mesh=mesh)
 

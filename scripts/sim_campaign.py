@@ -193,6 +193,15 @@ def run_system(args):
     # dense-BM ZNCC matches <1% at the reference threshold (dotty
     # unblurred surfaces decorrelate between the stereo views)
     argv += ["--set", "surface.median_blur_kernel_size=1"]
+    # loop-closure ICP gates scaled to the campaign map's depth-noise
+    # floor: ~2-5% inverse-depth error at 2-4 m is a 5-15 cm point noise,
+    # so the default 5 cm correspondence radius can never collect inliers
+    # even at perfect alignment (measured: genuine revisits plateau at
+    # inliers ~0.05, mean_d ~0.03). The drift-plausibility and inlier
+    # gates still police wrong-place edges; the campaign's TP/FP
+    # classification against analytic GT audits the result.
+    argv += ["--lc-set", "icp_max_corr_dist=0.15",
+             "--lc-set", "icp_max_mean_dist=0.08"]
     for ov in args.overrides:
         argv += ["--set", ov]
     return run_dataset.main(argv), depth_dir
