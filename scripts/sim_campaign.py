@@ -201,7 +201,7 @@ def run_system(args):
     # gates still police wrong-place edges; the campaign's TP/FP
     # classification against analytic GT audits the result.
     argv += ["--lc-set", "icp_max_corr_dist=0.15",
-             "--lc-set", "icp_max_mean_dist=0.08"]
+             "--lc-set", "icp_max_mean_dist=0.10"]
     for ov in args.overrides:
         argv += ["--set", ov]
     return run_dataset.main(argv), depth_dir
