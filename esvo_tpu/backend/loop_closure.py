@@ -319,4 +319,8 @@ def verify_loop_icp(p_cand: jax.Array, valid_cand: jax.Array,
           and mean_d <= cfg.icp_max_mean_dist
           and corr_t <= cfg.icp_max_correction_trans
           and corr_r <= cfg.icp_max_correction_rot)
+    # diagnostics for callers that report rejections (gate-by-gate)
+    verify_loop_icp.last_info = {
+        "frac": frac, "mean_d": mean_d, "corr_t": corr_t,
+        "corr_r": corr_r}
     return ok, np.asarray(T, np.float64), frac, mean_d

@@ -203,6 +203,9 @@ class PoseGraphLoop:
                 T_c, T_n, self.lc_cfg)
             stats["lc_inlier_fraction"] = frac
             stats["lc_mean_dist"] = mean_d
+            stats.update({f"lc_{k}": v for k, v in
+                          getattr(lc.verify_loop_icp, "last_info",
+                                  {}).items() if k.startswith("corr")})
         self.detector.add_descriptor(desc)
         self._kfs.append(kf)
 

@@ -387,7 +387,9 @@ def main(argv=None):
                           f"kf {pg_stats['lc_candidate']} "
                           f"sim={pg_stats['lc_similarity']:.3f} "
                           f"inliers={pg_stats['lc_inlier_fraction']:.2f} "
-                          f"mean_d={pg_stats['lc_mean_dist']:.3f}")
+                          f"mean_d={pg_stats['lc_mean_dist']:.3f} "
+                          f"corr_t={pg_stats.get('lc_corr_t', -1):.2f} "
+                          f"corr_r={pg_stats.get('lc_corr_r', -1):.2f}")
         if args.debug_maps and "maps" in out:
             _dump_maps(args.debug_maps, k, out["maps"])
         if viewer is not None:
