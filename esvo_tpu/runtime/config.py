@@ -60,6 +60,16 @@ class TrackingNodeConfig:
     truth)."""
     tracking_rate_hz: float = 100.0
     ref_history_length: int = 10
+    # velocity-plausibility guard on accepted tracker poses: a solve
+    # whose step implies motion faster than this is a diverged
+    # registration (a single accepted teleport poisons the pose table
+    # and the mapper then rebuilds the map at the wrong pose, cementing
+    # the jump). The allowance scales with time since the last ACCEPTED
+    # pose, so legitimate catch-up after rejected ticks still passes.
+    # Defaults are far above handheld/vehicle motion; tighten per
+    # sequence (e.g. --set tracking.max_speed_mps=1.0).
+    max_speed_mps: float = 5.0
+    max_ang_speed_rps: float = 10.0
 
 
 @dataclasses.dataclass

@@ -553,6 +553,20 @@ class EsvoSystem:
         if not _pose_is_rigid(T):
             self.stats["tracking_rejects"] += 1
             return
+        # velocity-plausibility guard (TrackingNodeConfig.max_speed_mps):
+        # a rigid-but-teleporting solve must not enter the pose table
+        # either. The allowance scales with time since the last ACCEPTED
+        # pose so catch-up after rejected ticks passes.
+        if self.pose_times:
+            dt_s = max(float(t) - self.pose_times[-1],
+                       1.0 / self.cfg.tracking.tracking_rate_hz)
+            dist = float(np.linalg.norm(T[:3, 3] - self.T_world_cur[:3, 3]))
+            dR = self.T_world_cur[:3, :3].T @ T[:3, :3]
+            ang = float(np.arccos(np.clip((np.trace(dR) - 1.0) / 2.0,
+                                          -1.0, 1.0)))
+            if dist > self.cfg.tracking.max_speed_mps * dt_s + 0.01                     or ang > self.cfg.tracking.max_ang_speed_rps * dt_s                     + 0.02:
+                self.stats["tracking_rejects"] += 1
+                return
         self.pose_times.append(float(t))
         self.pose_list.append(T)
         self.T_world_cur = T

@@ -193,6 +193,13 @@ def run_system(args):
     # dense-BM ZNCC matches <1% at the reference threshold (dotty
     # unblurred surfaces decorrelate between the stereo views)
     argv += ["--set", "surface.median_blur_kernel_size=1"]
+    # velocity-plausibility bound matched to the trajectory (~0.3 m/s
+    # peak): a tracker solve implying >1 m/s is a diverged registration,
+    # and one accepted teleport poisons the pose table (the mapper then
+    # rebuilds the map at the wrong pose, cementing the jump — observed
+    # as 3-5 m trajectory steps)
+    argv += ["--set", "tracking.max_speed_mps=1.0",
+             "--set", "tracking.max_ang_speed_rps=3.0"]
     # loop-closure ICP gates scaled to the campaign map's depth-noise
     # floor: ~2-5% inverse-depth error at 2-4 m is a 5-15 cm point noise,
     # so the default 5 cm correspondence radius can never collect inliers

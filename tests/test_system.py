@@ -199,15 +199,31 @@ def test_record_pose_rejects_degenerate():
     system = EsvoSystem(rig, make_config())
     T = np.eye(4)
     T[:3, 3] = [1.0, 2.0, 3.0]
-    system.record_pose(0.1, T)
+    system.record_pose(10.0, T)    # |t|=3.7 over >=10 s: within 5 m/s
     n_ok = len(system.pose_times)
-    system.record_pose(0.2, np.zeros((4, 4)))          # singular
+    system.record_pose(10.2, np.zeros((4, 4)))         # singular
     bad = np.eye(4)
     bad[0, 3] = np.nan
-    system.record_pose(0.3, bad)                       # non-finite
+    system.record_pose(10.3, bad)                      # non-finite
     scaled = np.eye(4) * 1.5
     scaled[3, 3] = 1.0
-    system.record_pose(0.4, scaled)                    # det != 1
+    system.record_pose(10.4, scaled)                   # det != 1
     assert system.stats["tracking_rejects"] == 3
     assert len(system.pose_times) == n_ok
     np.testing.assert_array_equal(system.T_world_cur, T)
+
+    # velocity-plausibility guard: a rigid 4 m teleport in one tick is a
+    # diverged solve; a comparable move spread over enough time passes
+    jump = T.copy()
+    jump[:3, 3] += [4.0, 0.0, 0.0]
+    system.record_pose(10.5, jump)
+    assert system.stats["tracking_rejects"] == 4
+    np.testing.assert_array_equal(system.T_world_cur, T)
+    slow = T.copy()
+    slow[:3, 3] += [0.02, 0.0, 0.0]
+    system.record_pose(10.6, slow)       # 2 cm in 0.6 s: ok
+    np.testing.assert_array_equal(system.T_world_cur, slow)
+    far_later = T.copy()
+    far_later[:3, 3] += [3.0, 0.0, 0.0]
+    system.record_pose(12.0, far_later)  # 3 m over 1.4 s < 5 m/s: ok
+    np.testing.assert_array_equal(system.T_world_cur, far_later)
