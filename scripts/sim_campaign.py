@@ -208,7 +208,12 @@ def run_system(args):
     # gates still police wrong-place edges; the campaign's TP/FP
     # classification against analytic GT audits the result.
     argv += ["--lc-set", "icp_max_corr_dist=0.15",
-             "--lc-set", "icp_max_mean_dist=0.10"]
+             "--lc-set", "icp_max_mean_dist=0.10",
+             # the bootstrap happens at the trajectory's fastest phase, so
+             # drift vs the earliest keyframes reaches ~1.5 m — above the
+             # 1 m default correction cap (whose job is blocking 5 m
+             # disjoint-cloud glue, still far away)
+             "--lc-set", "icp_max_correction_trans=2.0"]
     for ov in args.overrides:
         argv += ["--set", ov]
     return run_dataset.main(argv), depth_dir
