@@ -8,9 +8,10 @@ campaign substitutes an ESIM-style simulation (esvo_tpu/io/esim.py) whose
 ground truth — trajectory AND per-pixel depth — is analytic:
 
 1. generate a long (default 64 s), noisy (threshold FPN, refractory,
-   leak + hot-pixel noise), loop-bearing (closed trajectory, 2 laps)
-   stereo event sequence in a textured room scene, exported as an
-   rpg-layout dataset directory;
+   leak + hot-pixel noise), loop-bearing (closed trajectory, 4 laps,
+   ~480k ev/s at 240x180 — DAVIS240-like density) stereo event sequence
+   in a textured room scene, exported as an rpg-layout dataset
+   directory;
 2. run the FULL closed loop (mapping <-> tracking) with the sliding-window
    BA backend and the loop-closure + pose-graph backend via
    scripts/run_dataset.py machinery;
