@@ -290,8 +290,9 @@ def verify_loop_icp(p_cand: jax.Array, valid_cand: jax.Array,
     keyframes' local 3D clouds (see icp_align).
 
     p_cand/p_cur: (N, 3)/(M, 3) points in each keyframe's CAMERA frame.
-    Returns (accepted, T_edge (4, 4), inlier_fraction, mean_dist) with
-    T_edge = T_cand^-1 T_cur such that p_cand = T_edge p_cur."""
+    Returns (accepted, T_edge (4, 4), inlier_fraction, mean_dist, info)
+    with T_edge = T_cand^-1 T_cur such that p_cand = T_edge p_cur; info
+    is a per-call diagnostics dict (gate-by-gate values)."""
     Ta = np.asarray(T_world_cand, np.float64)
     Tb = np.asarray(T_world_cur_est, np.float64)
     T0 = jnp.asarray(np.linalg.inv(Ta) @ Tb, p_cand.dtype)
@@ -319,8 +320,7 @@ def verify_loop_icp(p_cand: jax.Array, valid_cand: jax.Array,
           and mean_d <= cfg.icp_max_mean_dist
           and corr_t <= cfg.icp_max_correction_trans
           and corr_r <= cfg.icp_max_correction_rot)
-    # diagnostics for callers that report rejections (gate-by-gate)
-    verify_loop_icp.last_info = {
-        "frac": frac, "mean_d": mean_d, "corr_t": corr_t,
-        "corr_r": corr_r}
-    return ok, np.asarray(T, np.float64), frac, mean_d
+    # per-call diagnostics returned to the caller (gate-by-gate values)
+    info = {"frac": frac, "mean_d": mean_d, "corr_t": corr_t,
+            "corr_r": corr_r}
+    return ok, np.asarray(T, np.float64), frac, mean_d, info

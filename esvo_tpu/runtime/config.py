@@ -66,10 +66,16 @@ class TrackingNodeConfig:
     # and the mapper then rebuilds the map at the wrong pose, cementing
     # the jump). The allowance scales with time since the last ACCEPTED
     # pose, so legitimate catch-up after rejected ticks still passes.
-    # Defaults are far above handheld/vehicle motion; tighten per
-    # sequence (e.g. --set tracking.max_speed_mps=1.0).
-    max_speed_mps: float = 5.0
+    # Defaults are far above handheld/vehicle motion (30 m/s covers
+    # automotive DSEC driving); tighten per sequence (e.g.
+    # --set tracking.max_speed_mps=1.0 for slow handheld loops). After
+    # max_consecutive_rejects rejections in a row the system re-anchors
+    # to the incoming pose: a frozen anchor would otherwise reject every
+    # subsequent pose forever once true displacement outruns the
+    # allowance.
+    max_speed_mps: float = 30.0
     max_ang_speed_rps: float = 10.0
+    max_consecutive_rejects: int = 20
 
 
 @dataclasses.dataclass

@@ -197,15 +197,14 @@ class PoseGraphLoop:
             # of the recently-active-edges-only current surface)
             t_c, T_c, p_cam_c, ok_c = self._kfs[cand]
             t_n, T_n, p_cam_n, ok_n = kf
-            accepted, T_edge, frac, mean_d = lc.verify_loop_icp(
+            accepted, T_edge, frac, mean_d, icp_info = lc.verify_loop_icp(
                 jnp.asarray(p_cam_c), jnp.asarray(ok_c),
                 jnp.asarray(p_cam_n), jnp.asarray(ok_n),
                 T_c, T_n, self.lc_cfg)
             stats["lc_inlier_fraction"] = frac
             stats["lc_mean_dist"] = mean_d
-            stats.update({f"lc_{k}": v for k, v in
-                          getattr(lc.verify_loop_icp, "last_info",
-                                  {}).items() if k.startswith("corr")})
+            stats.update({f"lc_{k}": v for k, v in icp_info.items()
+                          if k.startswith("corr")})
         self.detector.add_descriptor(desc)
         self._kfs.append(kf)
 

@@ -199,6 +199,7 @@ class EsvoSystem:
         self.stats = {"fusions": 0, "dropped": 0, "map_points": 0,
                       "low_event_ticks": 0, "pose_miss_skips": 0,
                       "tracking_rejects": 0, "bm": {}}
+        self._consec_rejects = 0
         # REF_HISTORY (esvo_Tracking.cpp:279-292): ring of the most recent
         # map exports so tracking can fall back when a cycle collapses
         self._ref_maps: list[tuple] = []   # (pts, ok, n_points)
@@ -556,7 +557,11 @@ class EsvoSystem:
         # velocity-plausibility guard (TrackingNodeConfig.max_speed_mps):
         # a rigid-but-teleporting solve must not enter the pose table
         # either. The allowance scales with time since the last ACCEPTED
-        # pose so catch-up after rejected ticks passes.
+        # pose so catch-up after rejected ticks passes. After
+        # max_consecutive_rejects rejections in a row the guard
+        # re-anchors to the incoming pose (with a warning): sustained
+        # true motion above the bound would otherwise freeze the anchor
+        # and reject every subsequent pose forever.
         if self.pose_times:
             dt_s = max(float(t) - self.pose_times[-1],
                        1.0 / self.cfg.tracking.tracking_rate_hz)
@@ -564,9 +569,22 @@ class EsvoSystem:
             dR = self.T_world_cur[:3, :3].T @ T[:3, :3]
             ang = float(np.arccos(np.clip((np.trace(dR) - 1.0) / 2.0,
                                           -1.0, 1.0)))
-            if dist > self.cfg.tracking.max_speed_mps * dt_s + 0.01                     or ang > self.cfg.tracking.max_ang_speed_rps * dt_s                     + 0.02:
+            too_fast = (
+                dist > self.cfg.tracking.max_speed_mps * dt_s + 0.01
+                or ang > self.cfg.tracking.max_ang_speed_rps * dt_s + 0.02)
+            if too_fast:
                 self.stats["tracking_rejects"] += 1
-                return
+                self._consec_rejects += 1
+                limit = self.cfg.tracking.max_consecutive_rejects
+                if self._consec_rejects < limit:
+                    return
+                import warnings
+                warnings.warn(
+                    f"velocity guard re-anchoring after "
+                    f"{self._consec_rejects} consecutive rejections "
+                    f"(sustained motion above "
+                    f"{self.cfg.tracking.max_speed_mps} m/s?)")
+        self._consec_rejects = 0
         self.pose_times.append(float(t))
         self.pose_list.append(T)
         self.T_world_cur = T

@@ -142,23 +142,27 @@ def generate(args):
     T_lr = np.eye(4)
     T_lr[0, 3] = args.baseline
 
-    def simulate_cached(name, pf):
+    def simulate_cached(name, cam_index, pf):
         cache = os.path.join(args.out, f"raw_{name}.npz")
         scache = cache + ".stats.json"
         if not args.regen and os.path.exists(cache) \
                 and os.path.exists(scache):
             with open(scache) as f:
                 return load_events_npz(cache), json.load(f)
+        # independent per-camera stream: a partial cache hit (left
+        # cached, right regenerated) must produce the same noise as a
+        # full regeneration under the same seed
+        cam_rng = np.random.default_rng([args.seed, cam_index])
         ev, st = esim.simulate_camera(scene, K, args.width, args.height,
-                                      pf, 0.0, args.duration, cfg, rng,
+                                      pf, 0.0, args.duration, cfg, cam_rng,
                                       progress=progress)
         save_events_npz(cache, ev)
         with open(scache, "w") as f:
             json.dump(st, f)
         return ev, st
 
-    ev_l, st_l = simulate_cached("left", pose_fn)
-    ev_r, st_r = simulate_cached("right", lambda t: pose_fn(t) @ T_lr)
+    ev_l, st_l = simulate_cached("left", 0, pose_fn)
+    ev_r, st_r = simulate_cached("right", 1, lambda t: pose_fn(t) @ T_lr)
     stats = {"left": st_l, "right": st_r}
     print(f"[campaign] simulated {stats['left']['events']} + "
           f"{stats['right']['events']} events in "

@@ -299,7 +299,7 @@ def test_icp_align_recovers_transform():
     # composite gate (mean-distance + drift-plausibility: a 5 m
     # "correction" exceeds any physically accumulable drift).
     other = volume_points(99, n=800) + np.array([5.0, 0.0, 0.0])
-    ok, T_bad, frac_bad, _ = lc.verify_loop_icp(
+    ok, T_bad, frac_bad, _, _ = lc.verify_loop_icp(
         jnp.asarray(p_a), jnp.asarray(keep_a),
         jnp.asarray(other), jnp.ones(len(other), bool),
         np.eye(4), np.eye(4), lc.LoopClosureConfig())

@@ -114,7 +114,7 @@ def test_aliasing_false_positive_rate():
             # drifted current-pose estimate, as in the live system
             T_est = T_gt.copy()
             T_est[:3, 3] += rng.normal(scale=0.03, size=3)
-            ok, T_edge, frac, mean_d = lc.verify_loop_icp(
+            ok, T_edge, frac, mean_d, _ = lc.verify_loop_icp(
                 jnp.asarray(cloud_c, jnp.float32),
                 jnp.ones(len(cloud_c), bool),
                 jnp.asarray(cloud, jnp.float32),

@@ -194,9 +194,15 @@ def test_record_pose_rejects_degenerate():
     """A diverged tracker pose (non-finite / non-rigid) must not enter
     the pose table or move T_world_cur (reference guard:
     RegProblemSolverLM.cpp:45-57 returning false)."""
+    import dataclasses
     rig = make_ideal_rig(W, H, FX, FX, W / 2 - 0.5, H / 2 - 0.5, BASELINE,
                          dtype=jnp.float32)
-    system = EsvoSystem(rig, make_config())
+    # pin the speed bound: this test exercises the guard mechanics, not
+    # the (motion-regime-dependent) default policy value
+    cfg = make_config()
+    cfg = dataclasses.replace(
+        cfg, tracking=dataclasses.replace(cfg.tracking, max_speed_mps=5.0))
+    system = EsvoSystem(rig, cfg)
     T = np.eye(4)
     T[:3, 3] = [1.0, 2.0, 3.0]
     system.record_pose(10.0, T)    # |t|=3.7 over >=10 s: within 5 m/s
@@ -227,3 +233,31 @@ def test_record_pose_rejects_degenerate():
     far_later[:3, 3] += [3.0, 0.0, 0.0]
     system.record_pose(12.0, far_later)  # 3 m over 1.4 s < 5 m/s: ok
     np.testing.assert_array_equal(system.T_world_cur, far_later)
+
+
+def test_record_pose_reanchors_after_sustained_rejections():
+    """Sustained true motion above max_speed_mps must not freeze the
+    anchor forever: after max_consecutive_rejects rejections in a row
+    the guard re-anchors to the incoming pose (ADVICE round-4 high:
+    the dsec driving preset at 10-17 m/s would otherwise reject every
+    pose after the first)."""
+    import dataclasses
+    rig = make_ideal_rig(W, H, FX, FX, W / 2 - 0.5, H / 2 - 0.5, BASELINE,
+                         dtype=jnp.float32)
+    cfg = make_config()
+    cfg = dataclasses.replace(
+        cfg, tracking=dataclasses.replace(cfg.tracking, max_speed_mps=1.0,
+                                          max_consecutive_rejects=5))
+    system = EsvoSystem(rig, cfg)
+    T = np.eye(4)
+    system.record_pose(0.0, T)
+    # vehicle-like 10 m/s: every pose is >1 m/s from the frozen anchor
+    with pytest.warns(UserWarning, match="re-anchoring"):
+        for k in range(1, 12):
+            Tk = np.eye(4)
+            Tk[0, 3] = 10.0 * k * 0.1
+            system.record_pose(k * 0.1, Tk)
+    # recovery engaged: the pose table is moving again (re-anchored at
+    # least once) instead of being pinned at the origin forever
+    assert system.T_world_cur[0, 3] > 0.0
+    assert system.stats["tracking_rejects"] >= 5
