@@ -15,14 +15,11 @@ per cycle at 20 Hz on a 6-thread i7-8750H (cfg/mapping/mapping_rpg.yaml:18,
 LM trip count max_iteration=10 (cfg/mapping/mapping_rpg.yaml:27). The DSEC
 budget is the 20 Hz mapping period: 50 ms/cycle (cfg/mapping/mapping_dsec.yaml).
 
-Fusion slot-strategy selection: both strategies ("sort" vs "scatter_min",
-bitwise-identical outputs — see mapping/fusion._assign_slots) are timed on
-the REAL post-solve estimates with a steady-state full history (not empty
-placeholders: an all-invalid candidate set is not representative of
-scatter cost), in two passes taking the better pass to reject tunnel
-noise. The chosen strategy's A/B time IS the reported fuse_ms, and a
-sanity gate re-measures the full cycle with "sort" if the chosen
-strategy's cycle deviates >1.8x from the stage sum (the r03 failure mode).
+Fusion is timed on the REAL post-solve estimates with a steady-state full
+history (not empty placeholders: an all-invalid candidate set is not
+representative of scatter cost). The alternative "scatter_min" slot
+strategy was deleted in r5 after losing its A/B 5x on every benched
+shape (BENCH_r04 fuse_ab_ms).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "stages",
 "roofline", "system"}.
@@ -164,17 +161,10 @@ def bench_pipeline(W, H, N, disp, bm_cfg, dp_cfg, reps, rng):
     ev_valid = jnp.ones(N, bool)
     ts_state = tsf.init_state(H, W)
 
-    # --- stage breakdown with the default strategy; the ts/bm/solve
-    # stages are strategy-independent and produce the REAL estimates the
-    # fusion A/B must be timed on ---
-    def stages_for(strategy):
-        fu_cfg = fu.FusionConfig(slot_strategy=strategy)
-        return fu_cfg, build_cycle(rig, W, H, N, F, bm_cfg, dp_cfg, fu_cfg,
-                                   surf_cfg, ts_l_tex, ts_r_tex)
-
-    strat_cache = {s: stages_for(s) for s in ("sort", "scatter_min")}
-    _, (cycle0, stage_ts, stage_bm, stage_solve, stage_fuse0,
-        empty_history) = strat_cache["sort"]
+    fu_cfg = fu.FusionConfig()
+    (cycle0, stage_ts, stage_bm, stage_solve, stage_fuse,
+     empty_history) = build_cycle(rig, W, H, N, F, bm_cfg, dp_cfg, fu_cfg,
+                                  surf_cfg, ts_l_tex, ts_r_tex)
 
     jts = jax.jit(stage_ts)
     t_ts, (ts_state2, ts_l) = time_fn(
@@ -184,49 +174,28 @@ def bench_pipeline(W, H, N, disp, bm_cfg, dp_cfg, reps, rng):
     jsolve = jax.jit(stage_solve)
     t_solve, est = time_fn(jsolve, (ts_l, matches, ev_t), reps)
 
-    # --- fusion slot-strategy A/B on the real post-solve estimates, with
-    # a steady-state history (every slot holds a real frame's estimates,
-    # the WORKING-phase worst case). The chosen strategy's measured time
-    # IS the reported fuse_ms, so the A/B and the breakdown cannot
-    # disagree (the r03 regression shipped through that gap). ---
+    # --- fusion timed on the real post-solve estimates, with a
+    # steady-state history (every slot holds a real frame's estimates,
+    # the WORKING-phase worst case) ---
     history0 = empty_history(dr)
     history = jax.tree.map(
         lambda h, e: jnp.broadcast_to(e[None], h.shape).astype(h.dtype),
         history0, est)
-    fuse_times = {}
-    fuse_jits = {}
-    for strat, (fu_cfg, stages) in strat_cache.items():
-        jfuse = jax.jit(stages[4])
-        fuse_jits[strat] = jfuse
-        fuse_times[strat], _ = time_fn(jfuse, (history, 0, est),
-                                       max(reps, 10))
-    best = min(fuse_times, key=fuse_times.get)
-    t_fuse = fuse_times[best]
+    jfuse = jax.jit(stage_fuse)
+    t_fuse, _ = time_fn(jfuse, (history, 0, est), max(reps, 10))
 
-    # --- fused full cycle (throughput metric) with the chosen strategy;
-    # sanity-gate against the stage sum and fall back to "sort" if the
-    # chosen strategy's cycle blows past it ---
-    def measure_cycle(strategy):
-        cyc = jax.jit(strat_cache[strategy][1][0])
-        out = cyc(ts_state, history0, 0, ev_x, ev_y, ev_t, ev_p, ev_valid)
+    # --- fused full cycle (throughput metric) ---
+    cyc = jax.jit(cycle0)
+    out = cyc(ts_state, history0, 0, ev_x, ev_y, ev_t, ev_p, ev_valid)
+    jax.block_until_ready(out)
+    t_cycle = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for r in range(reps):
+            out = cyc(out[0], out[1], (r + 1) % F, ev_x, ev_y, ev_t,
+                      ev_p, ev_valid)
         jax.block_until_ready(out)
-        best_t = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            for r in range(reps):
-                out = cyc(out[0], out[1], (r + 1) % F, ev_x, ev_y, ev_t,
-                          ev_p, ev_valid)
-            jax.block_until_ready(out)
-            best_t = min(best_t, (time.perf_counter() - t0) / reps)
-        return best_t, cyc
-
-    t_cycle, jcycle = measure_cycle(best)
-    stage_sum = t_ts + t_bm + t_solve + t_fuse
-    if best != "sort" and t_cycle > 1.8 * stage_sum:
-        t_cycle_sort, jcycle_sort = measure_cycle("sort")
-        if t_cycle_sort < t_cycle:
-            best, t_cycle, jcycle = "sort", t_cycle_sort, jcycle_sort
-            t_fuse = fuse_times["sort"]
+        t_cycle = min(t_cycle, (time.perf_counter() - t0) / reps)
 
     # --- XLA cost-model roofline per stage ---
     costs = {
@@ -234,7 +203,7 @@ def bench_pipeline(W, H, N, disp, bm_cfg, dp_cfg, reps, rng):
                t_ts),
         "bm": (xla_cost(jbm, (ts_l, ev_x, ev_y, ev_t, ev_valid)), t_bm),
         "solve": (xla_cost(jsolve, (ts_l, matches, ev_t)), t_solve),
-        "fuse": (xla_cost(fuse_jits[best], (history, 0, est)), t_fuse),
+        "fuse": (xla_cost(jfuse, (history, 0, est)), t_fuse),
     }
     roofline = {}
     for name, ((flops, bts), t) in costs.items():
@@ -253,18 +222,21 @@ def bench_pipeline(W, H, N, disp, bm_cfg, dp_cfg, reps, rng):
         "solve_ms": round(t_solve * 1e3, 3),
         "fuse_ms": round(t_fuse * 1e3, 3),
         "cycle_ms": round(t_cycle * 1e3, 3),
-        "fuse_strategy": best,
-        "fuse_ab_ms": {k: round(v * 1e3, 3)
-                       for k, v in fuse_times.items()},
         "roofline": roofline,
     }
 
 
-def bench_closed_loop(n_ticks=50, roll=5):
-    """System-level metric: ticks/s of the fused process_ticks roll on a
-    synthetic closed-loop scene (mapping every `roll`-th tick) plus the
-    run's ATE — the reference's design point is 100 Hz tracking / 20 Hz
-    mapping (reference README.md:221-226, cfg/tracking/tracking_rpg.yaml:5).
+def bench_closed_loop(roll=5, dispatch_ticks=(5, 10, 25, 50)):
+    """System-level metric: ticks/s of the closed loop (100 Hz tracking /
+    20 Hz mapping, reference README.md:221-226) on a synthetic scene.
+
+    The device-resident loop (runtime/resident.py) folds tracking,
+    mapping, the pose table and the ref-map publish into ONE device
+    program covering `dispatch_ticks` ticks; the sweep reports ticks/s
+    per dispatch size plus the legacy host-driven roll path for
+    comparison. Mapping cadence is fixed at every `roll`-th tick in all
+    configurations, so accuracy is dispatch-size independent (ATE is
+    reported from the largest-dispatch run).
     """
     from esvo_tpu.geometry.camera import make_ideal_rig
     from esvo_tpu.io.events import frame_events
@@ -272,24 +244,26 @@ def bench_closed_loop(n_ticks=50, roll=5):
                                        interpolate_gt_pose)
     from esvo_tpu.runtime.config import SystemConfig, MappingConfig
     from esvo_tpu.runtime.system import EsvoSystem, SystemStatus
+    from esvo_tpu.runtime.resident import ResidentLoop
     from esvo_tpu.mapping.block_matching import BlockMatchConfig
     from esvo_tpu.mapping.depth_refinement import DepthProblemConfig
     from esvo_tpu.mapping.initialization import SGMConfig
     from esvo_tpu.eval.trajectory import ate_rmse
 
     W, H, FX, BASE, TICK = 240, 180, 150.0, 0.1, 0.01
+    DUR = 3.2
     rng = np.random.default_rng(7)
     rig = make_ideal_rig(W, H, FX, FX, W / 2 - 0.5, H / 2 - 0.5, BASE,
                          dtype=jnp.float32)
-    scene = make_scene(rng, num_points=4000, duration=0.8, steps=81,
-                       motion_scale=0.6)
+    scene = make_scene(rng, num_points=4000, duration=DUR,
+                       steps=int(DUR * 100) + 1, motion_scale=0.6,
+                       period=0.8)
     ev_l, ev_r = simulate_stereo_events(
         scene, np.asarray(rig.left.params.P), np.asarray(rig.right.params.P),
         W, H, pixel_threshold=0.75, rng=rng)
-    ticks = np.arange(TICK, 0.8, TICK)
+    ticks = np.arange(TICK, DUR, TICK)
     frames_l = frame_events(ev_l, ticks, 3000)
     frames_r = frame_events(ev_r, ticks, 3000)
-    n_ticks = min(n_ticks, len(ticks))
 
     cfg = SystemConfig(
         depth=DepthProblemConfig(max_iteration=10),
@@ -302,30 +276,77 @@ def bench_closed_loop(n_ticks=50, roll=5):
                               denoising=False, regularization=False))
     system = EsvoSystem(rig, cfg)
 
-    def run():
-        system.reset()
-        t0 = None
-        for k0 in range(0, n_ticks, roll):
-            if k0 == roll and t0 is None:
-                t0 = time.perf_counter()
-            sl = slice(k0, k0 + roll)
-            evl = {k: v[sl] for k, v in frames_l.items() if k != "dropped"}
-            evr = {k: v[sl] for k, v in frames_r.items() if k != "dropped"}
-            system.process_ticks(ticks[sl], evl, evr, do_mapping=True)
-        system.flush()
-        assert system.status == SystemStatus.WORKING
-        return (n_ticks - roll) / (time.perf_counter() - t0)
+    def pick(f, sl):
+        return {k: v[sl] for k, v in f.items() if k != "dropped"}
 
-    run()               # compile warmup
-    rate = run()        # measured
-    t_est, poses_est = system.trajectory()
-    gt = np.stack([interpolate_gt_pose(scene, t) for t in t_est])
-    ate = ate_rmse(t_est, poses_est, t_est, gt)
+    def bootstrap():
+        system.reset()
+        k0 = 0
+        while system.status != SystemStatus.WORKING \
+                and k0 + roll <= len(ticks):
+            system.process_ticks(ticks[k0:k0 + roll],
+                                 pick(frames_l, slice(k0, k0 + roll)),
+                                 pick(frames_r, slice(k0, k0 + roll)),
+                                 do_mapping=True)
+            k0 += roll
+        assert system.status == SystemStatus.WORKING
+        return k0
+
+    by_dispatch = {}
+    ates = {}
+    for RK in dispatch_ticks:
+        R = RK // roll
+        k0 = bootstrap()
+        loop = ResidentLoop(system, ticks_per_roll=roll,
+                            rolls_per_dispatch=R)
+        loop.start()
+        t0 = None
+        timed = 0
+        out = None
+        while k0 + RK <= len(ticks):
+            sl = slice(k0, k0 + RK)
+            out = loop.run(ticks[sl], pick(frames_l, sl),
+                           pick(frames_r, sl))
+            if t0 is None:      # first dispatch = compile warmup
+                jax.block_until_ready(out["outs"]["poses"])
+                t0 = time.perf_counter()
+            else:
+                timed += RK     # subsequent dispatches pipeline freely
+            k0 += RK
+        jax.block_until_ready(out["outs"]["poses"])
+        rate = timed / (time.perf_counter() - t0)
+        loop.finish()
+        assert system.status == SystemStatus.WORKING
+        by_dispatch[RK] = round(rate, 1)
+        t_est, poses_est = system.trajectory()
+        gt = np.stack([interpolate_gt_pose(scene, t) for t in t_est])
+        ates[RK] = round(float(ate_rmse(t_est, poses_est, t_est, gt)), 4)
+
+    # legacy host-driven roll path (the r4 measurement) for comparison
+    k0 = bootstrap()
+    n_host = min(k0 + 50, len(ticks))
+    t0 = None
+    for k in range(k0, n_host, roll):
+        if k >= k0 + roll and t0 is None:
+            t0 = time.perf_counter()
+        sl = slice(k, k + roll)
+        system.process_ticks(ticks[sl], pick(frames_l, sl),
+                             pick(frames_r, sl), do_mapping=True)
+    system.flush()
+    host_rate = (n_host - k0 - roll) / (time.perf_counter() - t0)
+
+    best = max(by_dispatch.values())
+    # ATE varies run-to-run with the stochastic point selection (the
+    # reference is likewise non-deterministic, README.md:230) and is
+    # dispatch-size independent by construction: report the median
     return {
-        "ticks_per_sec": round(rate, 1),
-        "vs_design_point_100hz": round(rate / 100.0, 3),
-        "ate_m": round(float(ate), 4),
-        "n_ticks": int(n_ticks),
+        "ticks_per_sec": round(best, 1),
+        "vs_design_point_100hz": round(best / 100.0, 3),
+        "ate_m": round(float(np.median(list(ates.values()))), 4),
+        "ate_by_dispatch": ates,
+        "n_ticks": int(len(ticks)),
+        "by_dispatch_ticks": by_dispatch,
+        "host_roll_ticks_per_sec": round(host_rate, 1),
     }
 
 

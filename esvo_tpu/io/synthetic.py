@@ -29,7 +29,8 @@ class SyntheticScene:
 def make_scene(rng: np.random.Generator, num_points: int = 3000,
                duration: float = 2.0, steps: int = 201,
                motion_scale: float = 1.0,
-               structure: str = "segments") -> SyntheticScene:
+               structure: str = "segments",
+               period: float | None = None) -> SyntheticScene:
     """Edge scene in front of the camera + a smooth trajectory.
 
     structure="segments": points sampled densely along random 3D line
@@ -37,6 +38,11 @@ def make_scene(rng: np.random.Generator, num_points: int = 3000,
     patch matching and the tracker's edge alignment rely on that contiguity
     (isolated dots give degenerate ZNCC patches and a flat tracking cost).
     structure="points": i.i.d. dots (harder, unrealistic).
+
+    period: motion period in seconds (default: one cycle over the whole
+    duration). Pin it when extending `duration` so the angular rate —
+    and with it the event rate — stays constant instead of thinning out
+    with sequence length.
     """
     if structure == "segments":
         pts_per_seg = 25
@@ -61,7 +67,7 @@ def make_scene(rng: np.random.Generator, num_points: int = 3000,
     for i, t in enumerate(times):
         # smooth sinusoidal 6-DoF wiggle
         s = motion_scale
-        w = 2 * np.pi / duration
+        w = 2 * np.pi / (period or duration)
         tx = 0.10 * s * np.sin(w * t)
         ty = 0.06 * s * np.sin(2 * w * t + 0.4)
         tz = 0.05 * s * (1 - np.cos(w * t))

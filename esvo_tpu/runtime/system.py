@@ -249,6 +249,10 @@ class EsvoSystem:
             pts = pts @ R.T + tr
             self._global_voxels = dict(
                 zip(self._global_voxels.keys(), pts))
+        # observers (e.g. a live ResidentLoop holding the authoritative
+        # state on device) mirror the correction into their own state
+        for cb in getattr(self, "_world_correction_observers", []):
+            cb(corr)
 
     # ------------------------------------------------------------------
     # compiled programs
@@ -294,6 +298,7 @@ class EsvoSystem:
                                 rig, cfg.depth)
 
         self._insert_fn = insert_fn
+        self._solve_fn = solve_fn
 
         @jax.jit
         def render_tick(st_l, st_r, ev_l, ev_r, t_sync):
@@ -307,18 +312,9 @@ class EsvoSystem:
 
         self._render_tick = render_tick
 
-        N = self.N
-
-        def compact(valid, *arrays):
-            """Move the first N valid lanes to the front (stable), so the
-            expensive batched stages run at fixed width N regardless of
-            the frame capacity."""
-            order = jnp.argsort(~valid, stable=True)[:N]
-            return (valid[order],) + tuple(a[order] for a in arrays)
-
         @jax.jit
         def sgm_seed(ts_l, ts_r, ev_x, ev_y, ev_valid, T_world_frame):
-            ev_valid, ev_x, ev_y = compact(ev_valid, ev_x, ev_y)
+            ev_valid, ev_x, ev_y = self._compact(ev_valid, ev_x, ev_y)
             x_rect = _lut_lookup(rig.left.lut, ev_y, ev_x, H, W)
             est = init.sgm_depth_points(
                 ts_l, ts_r, x_rect, ev_valid, T_world_frame, rig, cfg.sgm,
@@ -328,57 +324,8 @@ class EsvoSystem:
             return est, jnp.sum(est.valid)
 
         self._sgm_seed = sgm_seed
-
-        @jax.jit
-        def map_estimate(ts_l, ts_r, ev_x, ev_y, ev_t, ev_valid,
-                         pose_times, pose_tab, T_world_frame):
-            # denoising mask (esvo_Mapping.cpp:282-304)
-            if cfg.mapping.denoising:
-                mask = init.denoising_mask(ev_x, ev_y, ev_valid, H, W)
-                ev_valid = init.select_denoised(
-                    ev_x, ev_y, ev_valid, mask, cfg.mapping.process_event_num)
-            ev_valid, ev_x, ev_y, ev_t = compact(ev_valid, ev_x, ev_y, ev_t)
-            x_rect = _lut_lookup(rig.left.lut, ev_y, ev_x, H, W)
-            # per-event virtual-view pose
-            T_wv = interpolate_pose_table(pose_times, pose_tab,
-                                          ev_t.astype(pose_tab.dtype))
-            matches, bm_stats = bm.match_events_stats(
-                ts_l, ts_r, x_rect, x_rect, ev_t, ev_valid, rig.left.mask,
-                rig, cfg.bm)
-            T_left_world = se3_inverse(T_world_frame)
-            T_lv = jnp.einsum("ij,njk->nik", T_left_world, T_wv,
-                              precision="highest")
-            est = solve_fn(matches.x_left, T_wv, T_lv, matches.inv_depth,
-                           matches.valid, ev_t, ts_l, ts_r)
-            est = dr.point_culling(
-                est, cfg.mapping.std_var_vis_threshold,
-                cfg.cost_vis_threshold, cfg.mapping.inv_depth_min_range,
-                cfg.mapping.inv_depth_max_range)
-            return est, jnp.sum(est.valid), bm_stats
-
-        self._map_estimate = map_estimate
-
-        @jax.jit
-        def rebuild_frame(history, T_world_frame):
-            flat = jax.tree.map(
-                lambda a: a.reshape((-1,) + a.shape[2:]), history)
-            grid = fu.empty_grid(H, W, self.dtype)
-            T_frame_world = se3_inverse(T_world_frame)
-            cand = fu.propagate_points(flat, T_frame_world, rig.left,
-                                       cfg.fusion)
-            grid, nfused, ndrop = fu.fuse_frame(grid, cand, rig.left,
-                                                cfg.fusion)
-            grid = fu.clean_grid(
-                grid, cfg.mapping.std_var_vis_threshold ** 2,
-                cfg.mapping.age_vis_threshold,
-                cfg.mapping.inv_depth_max_range,
-                cfg.mapping.inv_depth_min_range)
-            if cfg.mapping.regularization:
-                grid = regularize(grid, cfg.regularizer)
-            pts_world, occ = fu.grid_points_world(grid, T_world_frame)
-            return grid, pts_world, occ, nfused, ndrop
-
-        self._rebuild_frame = rebuild_frame
+        self._map_estimate = jax.jit(self._mapping_estimate_body)
+        self._rebuild_frame = jax.jit(self._rebuild_frame_body)
 
         @jax.jit
         def seed_frame(history, T_world_frame):
@@ -396,18 +343,10 @@ class EsvoSystem:
 
         self._seed_frame = seed_frame
 
-        M = cfg.tracker.max_registration_points
-
         @jax.jit
         def track(ts_l, T_world_ref, T_world_cur, pts_world, pt_valid, key):
             # stochastic point selection (RegProblemLM.cpp:45-55)
-            flat_pts = pts_world.reshape(-1, 3)
-            flat_ok = pt_valid.reshape(-1)
-            score = jax.random.uniform(key, flat_ok.shape) \
-                + jnp.where(flat_ok, 0.0, 1e3)
-            idx = jnp.argsort(score)[:M]
-            pts = flat_pts[idx]
-            ok = flat_ok[idx]
+            pts, ok = self._select_ref_points(pts_world, pt_valid, key)
             prob = reg.make_problem(T_world_ref.astype(self.dtype),
                                     T_world_cur.astype(self.dtype),
                                     pts, ok, ts_l, cfg.tracker)
@@ -415,6 +354,105 @@ class EsvoSystem:
             return T_est, rms, jnp.sum(ok)
 
         self._track = track
+
+    # -- traceable pipeline bodies (shared by the jitted per-stage
+    # programs above and the device-resident loop, runtime/resident.py) --
+    def _compact(self, valid, *arrays):
+        """Move the first N valid lanes to the front (stable), so the
+        expensive batched stages run at fixed width N regardless of
+        the frame capacity."""
+        order = jnp.argsort(~valid, stable=True)[:self.N]
+        return (valid[order],) + tuple(a[order] for a in arrays)
+
+    def _mapping_estimate_body(self, ts_l, ts_r, ev_x, ev_y, ev_t,
+                               ev_valid, pose_times, pose_tab,
+                               T_world_frame):
+        """One WORKING mapping cycle's estimate stage: denoise ->
+        compact -> rectify -> per-event virtual-view poses -> BM ->
+        depth LM -> culling (esvo_Mapping.cpp:261-340)."""
+        cfg, rig, H, W = self.cfg, self.rig, self.H, self.W
+        # denoising mask (esvo_Mapping.cpp:282-304)
+        if cfg.mapping.denoising:
+            mask = init.denoising_mask(ev_x, ev_y, ev_valid, H, W)
+            ev_valid = init.select_denoised(
+                ev_x, ev_y, ev_valid, mask, cfg.mapping.process_event_num)
+        ev_valid, ev_x, ev_y, ev_t = self._compact(ev_valid, ev_x, ev_y,
+                                                   ev_t)
+        x_rect = _lut_lookup(rig.left.lut, ev_y, ev_x, H, W)
+        # per-event virtual-view pose
+        T_wv = interpolate_pose_table(pose_times, pose_tab,
+                                      ev_t.astype(pose_tab.dtype))
+        matches, bm_stats = bm.match_events_stats(
+            ts_l, ts_r, x_rect, x_rect, ev_t, ev_valid, rig.left.mask,
+            rig, cfg.bm)
+        T_left_world = se3_inverse(T_world_frame)
+        T_lv = jnp.einsum("ij,njk->nik", T_left_world, T_wv,
+                          precision="highest")
+        est = self._solve_fn(matches.x_left, T_wv, T_lv,
+                             matches.inv_depth, matches.valid, ev_t,
+                             ts_l, ts_r)
+        est = dr.point_culling(
+            est, cfg.mapping.std_var_vis_threshold,
+            cfg.cost_vis_threshold, cfg.mapping.inv_depth_min_range,
+            cfg.mapping.inv_depth_max_range)
+        return est, jnp.sum(est.valid), bm_stats
+
+    def _rebuild_frame_body(self, history, T_world_frame):
+        """Propagate + fuse the whole history window into a fresh depth
+        frame, clean, regularize (esvo_Mapping.cpp:342-394)."""
+        cfg, rig, H, W = self.cfg, self.rig, self.H, self.W
+        flat = jax.tree.map(
+            lambda a: a.reshape((-1,) + a.shape[2:]), history)
+        grid = fu.empty_grid(H, W, self.dtype)
+        T_frame_world = se3_inverse(T_world_frame)
+        cand = fu.propagate_points(flat, T_frame_world, rig.left,
+                                   cfg.fusion)
+        grid, nfused, ndrop = fu.fuse_frame(grid, cand, rig.left,
+                                            cfg.fusion)
+        grid = fu.clean_grid(
+            grid, cfg.mapping.std_var_vis_threshold ** 2,
+            cfg.mapping.age_vis_threshold,
+            cfg.mapping.inv_depth_max_range,
+            cfg.mapping.inv_depth_min_range)
+        if cfg.mapping.regularization:
+            grid = regularize(grid, cfg.regularizer)
+        pts_world, occ = fu.grid_points_world(grid, T_world_frame)
+        return grid, pts_world, occ, nfused, ndrop
+
+    def _select_ref_points(self, pts_world, pt_valid, key):
+        """Stochastic selection of <=M registration points from a map
+        export (RegProblemLM.cpp:45-55). Returns (pts (M, 3), ok (M,))."""
+        M = self.cfg.tracker.max_registration_points
+        flat_pts = pts_world.reshape(-1, 3)
+        flat_ok = pt_valid.reshape(-1)
+        score = jax.random.uniform(key, flat_ok.shape) \
+            + jnp.where(flat_ok, 0.0, 1e3)
+        idx = jnp.argsort(score)[:M]
+        return flat_pts[idx], flat_ok[idx]
+
+    def _track_tick_body(self, st_l, st_r, evl, evr, ts, T_world_ref,
+                         T_ref_world, p_ref, ok, T_cur):
+        """One sync tick of the WORKING loop: insert events, render the
+        left surface, register the (pre-selected, ref-frame) map points
+        to it (esvo_Tracking.cpp:79-160). Returns
+        (st_l, st_r, s_l, T_est, rms)."""
+        cfg, rig, dt = self.cfg, self.rig, self.dtype
+        insert = self._insert_fn
+        render = (tsf.render_backward if cfg.surface.mode == "backward"
+                  else tsf.render_forward)
+        st_l = insert(st_l, evl)
+        st_r = insert(st_r, evr)
+        s_l = render(st_l, ts, rig.left, cfg.surface).astype(dt)
+        T_ref_left = jnp.matmul(T_ref_world, T_cur.astype(dt),
+                                precision="highest")
+        neg, gu, gv = reg.negative_time_surface(
+            s_l, cfg.tracker.kernel_size)
+        prob = reg.RegProblem(
+            R=T_ref_left[:3, :3], t=T_ref_left[:3, 3],
+            T_world_ref=T_world_ref, points=p_ref,
+            point_valid=ok, ts_negative=neg, grad_u=gu, grad_v=gv)
+        prob, T_est, rms = reg.solve(prob, rig.left, cfg.tracker)
+        return st_l, st_r, s_l, T_est, rms
 
     def _get_roll_programs(self, K: int):
         """Fused K-tick device programs (cached per K).
@@ -436,7 +474,6 @@ class EsvoSystem:
         insert = self._insert_fn
         render = (tsf.render_backward if cfg.surface.mode == "backward"
                   else tsf.render_forward)
-        M = cfg.tracker.max_registration_points
         dt = self.dtype
 
         @partial(jax.jit, donate_argnums=(0, 1))
@@ -468,14 +505,8 @@ class EsvoSystem:
             unchanged).
             """
             T_world_ref = T_world_ref.astype(dt)
-            flat_pts = pts_world.reshape(-1, 3)
-            flat_ok = pt_valid.reshape(-1)
             key, sub = jax.random.split(key)
-            score = jax.random.uniform(sub, flat_ok.shape) \
-                + jnp.where(flat_ok, 0.0, 1e3)
-            idx = jnp.argsort(score)[:M]
-            pts = flat_pts[idx]
-            ok = flat_ok[idx]
+            pts, ok = self._select_ref_points(pts_world, pt_valid, sub)
             # ref-frame coordinates once per roll (make_problem's einsum)
             Rwr = T_world_ref[:3, :3]
             twr = T_world_ref[:3, 3]
@@ -485,21 +516,12 @@ class EsvoSystem:
             def step(carry, inp):
                 st_l, st_r, T_cur = carry
                 evl, evr, ts = inp
-                st_l = insert(st_l, evl)
-                st_r = insert(st_r, evr)
                 # the tracker only needs the LEFT surface per tick; the
                 # right surface (and the stacked per-tick copies) are
                 # rendered once from the final state after the scan
-                s_l = render(st_l, ts, rig.left, cfg.surface).astype(dt)
-                T_ref_left = jnp.matmul(T_ref_world, T_cur.astype(dt),
-                                        precision="highest")
-                neg, gu, gv = reg.negative_time_surface(
-                    s_l, cfg.tracker.kernel_size)
-                prob = reg.RegProblem(
-                    R=T_ref_left[:3, :3], t=T_ref_left[:3, 3],
-                    T_world_ref=T_world_ref, points=p_ref,
-                    point_valid=ok, ts_negative=neg, grad_u=gu, grad_v=gv)
-                prob, T_est, rms = reg.solve(prob, rig.left, cfg.tracker)
+                st_l, st_r, _, T_est, rms = self._track_tick_body(
+                    st_l, st_r, evl, evr, ts, T_world_ref, T_ref_world,
+                    p_ref, ok, T_cur)
                 return (st_l, st_r, T_est), (T_est, rms[-1])
 
             (st_l, st_r, _), (poses, rms) = jax.lax.scan(
@@ -814,18 +836,22 @@ class EsvoSystem:
         # support registration (esvo_Tracking.cpp:163-168,
         # RegProblemSolverLM.cpp:52-57 + REF_HISTORY fallback)
         if not p["gt_mode"] and self._current_ref_map() is None:
-            self.status = SystemStatus.INITIALIZATION
-            self._frames_filled = 0
-            # invalidate the fusion history too: its frames were built
-            # under the (now untrusted) pre-failure poses, and the next
-            # SGM bootstrap's seed_frame flattens ALL ring slots — stale
-            # frames must not contaminate the restart map (the reference
-            # fully clears state on re-initialization)
-            self._hist_slot = 0
-            self.history = self.history.replace(
-                valid=jnp.zeros_like(self.history.valid))
+            self._degrade()
         out["map_points"] = self.stats["map_points"]
         return out
+
+    def _degrade(self):
+        """Drop to INITIALIZATION and invalidate the fusion history: its
+        frames were built under the (now untrusted) pre-failure poses,
+        and the next SGM bootstrap's seed_frame flattens ALL ring slots —
+        stale frames must not contaminate the restart map (the reference
+        fully clears state on re-initialization,
+        esvo_Tracking.cpp:163-168)."""
+        self.status = SystemStatus.INITIALIZATION
+        self._frames_filled = 0
+        self._hist_slot = 0
+        self.history = self.history.replace(
+            valid=jnp.zeros_like(self.history.valid))
 
     def process_ticks(self, t_syncs, ev_left: dict, ev_right: dict,
                       gt_poses=None, do_mapping: bool | None = None):

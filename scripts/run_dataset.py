@@ -120,6 +120,16 @@ def parse_args(argv=None):
                          "(process_ticks pipelining; 0 = sequential). "
                          "Mapping runs once per roll, so pick "
                          "tick_rate/mapping_rate (e.g. 5 at 100/20 Hz)")
+    ap.add_argument("--resident", type=int, default=0, metavar="ROLLS",
+                    help="device-resident loop: fold this many mapping "
+                         "rolls (of --roll ticks each) into ONE device "
+                         "dispatch while WORKING (runtime/resident.py; "
+                         "pose table + ref map stay on device). "
+                         "Bootstrap/reset still run on the host path. "
+                         "NOTE: BA/loop-closure keyframe cadence is then "
+                         "counted in dispatches (= ROLLS mapping cycles), "
+                         "so scale --ba-every/--loop-every accordingly. "
+                         "Requires --roll > 1 and a single device.")
     ap.add_argument("--devices", type=int, default=1,
                     help="shard the mapping event axis (and BA, with --ba) "
                          "over the first N jax devices "
@@ -336,39 +346,84 @@ def main(argv=None):
     last_ckpt = t0
     wall0 = time.perf_counter()
     R = max(args.roll, 0)
-    if R > 1:
-        pairs = zip(stream_l.rolls(R), stream_r.rolls(R))
+    res_rolls = max(args.resident, 0)
+    use_resident = res_rolls >= 1 and R > 1 and args.mode == "closed" \
+        and mesh is None
+    if args.resident and not use_resident:
+        raise SystemExit("--resident requires --roll > 1, --mode closed "
+                         "and a single device")
+    chunk = R * res_rolls if use_resident else R
+    if chunk > 1:
+        pairs = zip(stream_l.rolls(chunk), stream_r.rolls(chunk))
     else:
         pairs = zip(stream_l, stream_r)
-    k = 0
-    for (tl, fl), (_, fr) in pairs:
-        fl = {key: v for key, v in fl.items() if key != "dropped"}
-        fr = {key: v for key, v in fr.items() if key != "dropped"}
-        if R > 1 and len(tl) == R:
-            # fused roll: R ticks per device program, async mapping
-            gts = None
-            if args.mode == "mvstereo":
-                gts = np.stack([interpolate_gt(gt_times, gt_poses, t)
-                                for t in tl])
-            out = system.process_ticks(tl, fl, fr, gt_poses=gts,
-                                       do_mapping=True)
-            step = R
-        else:
-            # single tick — or a short final roll, unstacked tick-by-tick
-            # (avoids a one-off compile of an R'-tick program)
-            if R > 1:
-                ticks = [(float(tl[i]),
-                          {key: v[i] for key, v in fl.items()},
-                          {key: v[i] for key, v in fr.items()})
-                         for i in range(len(tl))]
+    resident = None
+
+    def host_chunk(tl, fl, fr):
+        """Host-path processing of one chunk (bootstrap / fallback):
+        R-tick fused rolls when shapes allow, tick-by-tick otherwise."""
+        out = None
+        n = len(np.atleast_1d(tl))
+        k2 = 0
+        while k2 < n:
+            if R > 1 and n - k2 >= R:
+                sl = slice(k2, k2 + R)
+                gts = None
+                if args.mode == "mvstereo":
+                    gts = np.stack([interpolate_gt(gt_times, gt_poses, t)
+                                    for t in np.atleast_1d(tl)[sl]])
+                out = system.process_ticks(
+                    np.atleast_1d(tl)[sl],
+                    {key: v[sl] for key, v in fl.items()},
+                    {key: v[sl] for key, v in fr.items()},
+                    gt_poses=gts, do_mapping=True)
+                k2 += R
             else:
-                ticks = [(float(tl), fl, fr)]
-            for ts_k, f1, f2 in ticks:
+                if n == 1 and np.ndim(tl) == 0:
+                    ts_k, f1, f2 = float(tl), fl, fr
+                else:
+                    ts_k = float(np.atleast_1d(tl)[k2])
+                    f1 = {key: v[k2] for key, v in fl.items()}
+                    f2 = {key: v[k2] for key, v in fr.items()}
                 gt = None
                 if args.mode == "mvstereo":
                     gt = interpolate_gt(gt_times, gt_poses, ts_k)
                 out = system.process_tick(ts_k, f1, f2, gt_pose=gt)
-            step = len(ticks)
+                k2 += 1
+        return out
+
+    k = 0
+    for (tl, fl), (_, fr) in pairs:
+        fl = {key: v for key, v in fl.items() if key != "dropped"}
+        fr = {key: v for key, v in fr.items() if key != "dropped"}
+        step = len(np.atleast_1d(tl))
+        if use_resident and system.status == SystemStatus.WORKING \
+                and step == chunk:
+            # ---- device-resident fast path: 1 dispatch per chunk ----
+            if resident is None:
+                from esvo_tpu.runtime.resident import ResidentLoop
+                resident = ResidentLoop(system, ticks_per_roll=R,
+                                        rolls_per_dispatch=res_rolls)
+                resident.start()
+            try:
+                resident.run(tl, fl, fr)
+                out = resident.sync()
+            except RuntimeError:
+                # timestamp discontinuity: reset on the host path
+                resident.finish()
+                resident = None
+                out = host_chunk(tl, fl, fr)
+            else:
+                if out.pop("degraded", False):
+                    # every recent cycle collapsed: re-bootstrap
+                    resident.finish()
+                    resident = None
+                    system._degrade()
+        else:
+            if resident is not None:
+                resident.finish()
+                resident = None
+            out = host_chunk(tl, fl, fr)
         t_sync = sync_times[min(k + step - 1, len(sync_times) - 1)]
         if backend is not None:
             backend.maybe_update(out)
@@ -406,6 +461,11 @@ def main(argv=None):
         if args.checkpoint_every and \
                 t_sync - last_ckpt >= args.checkpoint_every:
             from esvo_tpu.runtime.checkpoint import save_checkpoint
+            if resident is not None:
+                # checkpoints snapshot the system's host state: hand the
+                # device state back first (the loop re-enters next chunk)
+                resident.finish()
+                resident = None
             save_checkpoint(system, args.checkpoint_dir)
             if backend is not None:
                 backend.save(args.checkpoint_dir)
@@ -418,6 +478,8 @@ def main(argv=None):
                   f"status={out['status']} map={out.get('map_points', 0)} "
                   f"({(k + step) / wall:.1f} ticks/s)")
         k += step
+    if resident is not None:
+        resident.finish()
     system.flush()
     if viewer is not None:
         viewer.update_text("status", "done")

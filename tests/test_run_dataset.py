@@ -160,6 +160,40 @@ def test_run_dataset_closed_loop(dataset_dir, tmp_path):
     assert gm_pts.shape[0] > 200 and gm_pts.shape[1] == 3
 
 
+def test_run_dataset_resident_loop(dataset_dir, tmp_path):
+    """--resident 2 --roll 5: one device dispatch per 10 ticks with the
+    pose table/ref map on device (runtime/resident.py); same dataset +
+    accuracy bar as the host-path closed loop, with the loop-closure
+    layer fed from the per-dispatch summaries."""
+    import run_dataset
+    out = str(tmp_path / "traj_res.txt")
+    dm_dir = str(tmp_path / "depth_maps_res")
+    result = run_dataset.main([
+        "--dataset", str(dataset_dir),
+        "--calib", str(dataset_dir / "calib"),
+        "--mapping-yaml", str(dataset_dir / "cfg" / "mapping.yaml"),
+        "--tracking-yaml", str(dataset_dir / "cfg" / "tracking.yaml"),
+        "--ts-yaml", str(dataset_dir / "cfg" / "ts.yaml"),
+        "--duration", "0.6",
+        "--roll", "5",
+        "--resident", "2",
+        "--save-depth-maps", dm_dir,
+        "--loop-closure", "--loop-every", "1",
+        "--out", out,
+        "--quiet",
+    ])
+    assert result["ate_rmse_m"] < 0.15, result
+    assert result["stats"]["map_points"] > 200
+    assert "loop_closures" in result
+    t, T = load_tum(out)
+    assert len(t) >= 50
+    # depth dumps land once per dispatch while resident
+    dumps = sorted(os.listdir(dm_dir))
+    assert len(dumps) >= 3
+    rows = np.loadtxt(os.path.join(dm_dir, dumps[-1]))
+    assert rows.ndim == 2 and rows.shape[0] > 100
+
+
 def test_run_dataset_sharded_rolls(dataset_dir, tmp_path):
     """--devices 2 --roll 5: the replay CLI drives EsvoSystem(mesh=...)
     — mapping event axis sharded over two virtual devices — through the
