@@ -42,14 +42,6 @@ class FusionConfig:
     ls_norm: str = struct.field(pytree_node=False, default="Tdist")
     fusion_radius: int = struct.field(pytree_node=False, default=0)
     max_candidates_per_pixel: int = struct.field(pytree_node=False, default=8)
-    # How the best-K-per-pixel candidate slots are assigned:
-    #   "sort"        — one 2-key lexicographic sort over all M tiled
-    #                   candidates + segment ranks (O(M log^2 M) sorting
-    #                   network on TPU);
-    #   "scatter_min" — K rounds of (value, index) scatter-min per pixel
-    #                   (2 scatters + 2 gathers of M per round).  Bitwise
-    #                   the same slots; O(K*M) HBM traffic, no sort.
-    slot_strategy: str = struct.field(pytree_node=False, default="sort")
 
 
 @struct.dataclass
@@ -215,40 +207,13 @@ def _assign_slots_sort(pix, valid, val_key, hw, K):
     return slot, num_dropped
 
 
-def _assign_slots_scatter_min(pix, valid, val_key, hw, K):
-    """Slot ids via K rounds of per-pixel (value, index) scatter-min.
-
-    Round k selects, for every pixel, the remaining candidate with the
-    lexicographically smallest (val_key, index) — exactly the k-th entry
-    of the "sort" strategy's stable order — without paying a full
-    O(M log^2 M) sorting network; per round: 2 flat scatter-mins + 2
-    flat gathers of M elements.
-    """
-    M = pix.shape[0]
-    ar = jnp.arange(M, dtype=jnp.int32)
-    big = jnp.int32(jnp.iinfo(jnp.int32).max)
-    remaining = valid
-    slot = jnp.full((M,), hw * K, jnp.int32)
-    for k in range(K):
-        v = jnp.where(remaining, val_key, jnp.inf)
-        best = jnp.full((hw,), jnp.inf, val_key.dtype) \
-            .at[pix].min(v, mode="drop")
-        at_best = remaining & (v <= jnp.take(best, pix))
-        idx_c = jnp.where(at_best, ar, big)
-        besti = jnp.full((hw,), big, jnp.int32) \
-            .at[pix].min(idx_c, mode="drop")
-        winner = at_best & (jnp.take(besti, pix) == ar)
-        slot = jnp.where(winner, k * hw + pix, slot)
-        remaining = remaining & ~winner
-    return slot, jnp.sum(remaining)
-
-
-def _assign_slots(pix, valid, val_key, hw, K, strategy):
-    if strategy == "scatter_min":
-        return _assign_slots_scatter_min(pix, valid, val_key, hw, K)
-    if strategy == "sort":
-        return _assign_slots_sort(pix, valid, val_key, hw, K)
-    raise ValueError(f"unknown slot_strategy {strategy!r}")
+def _assign_slots(pix, valid, val_key, hw, K):
+    # One strategy only: an alternative "scatter_min" assignment (K
+    # rounds of per-pixel (value, index) scatter-min, bitwise-identical
+    # slots) was carried through r03-r04 but measured 5x slower than the
+    # sort on every device/shape ever benched (BENCH_r04 fuse_ab_ms:
+    # 18.0 vs 3.5 ms rpg, 35.9 vs 7.3 ms DSEC) — deleted in r5.
+    return _assign_slots_sort(pix, valid, val_key, hw, K)
 
 
 def _student_t_update(invD_a, scale2_a, nu_a, invD_b, scale2_b, nu_b):
@@ -289,7 +254,7 @@ def fuse_frame(grid: DepthGrid, cand: Candidates, camera: Camera,
     # best-K-per-pixel slots in variance-ascending order (strategy:
     # one lexicographic sort, or K scatter-min rounds — identical slots)
     slot_idx, num_dropped = _assign_slots(
-        pix, tiled.valid, tiled.variance, H * W, K, cfg.slot_strategy)
+        pix, tiled.valid, tiled.variance, H * W, K)
     dt = tiled.inv_depth.dtype
 
     # K-major slot layout: channel buffers come out as (K, H, W), so the
@@ -451,7 +416,7 @@ def naive_fuse_frame(grid: DepthGrid, cand: Candidates, camera: Camera,
 
     # best-K per pixel in residual-ascending order
     slot_idx, _ = _assign_slots(
-        pix, tiled.valid, tiled.residual, H * W, K, cfg.slot_strategy)
+        pix, tiled.valid, tiled.residual, H * W, K)
 
     dt = tiled.inv_depth.dtype
 

@@ -334,36 +334,25 @@ def _random_candidates(rng, n, dense=False):
         valid=jnp.asarray(rng.random(n) > 0.2))
 
 
-def test_slot_strategies_identical():
-    """scatter_min slot assignment must be bitwise identical to the
-    sort-based one, for fuse_frame (variance key, with per-pixel
-    overflow) and naive_fuse_frame (residual key)."""
+def test_slot_assignment_deterministic_and_overflow_counted():
+    """The best-K-per-pixel slot assignment must be deterministic (stable
+    sort: ties break by original index) and count per-pixel overflow
+    drops when candidates exceed max_candidates_per_pixel (the reference
+    fuses every propagated point sequentially; the batched fold caps K
+    per pixel and the count keeps the truncation observable)."""
     rng = np.random.default_rng(11)
     r = rig()
     for dense in (False, True):
         cand = _random_candidates(rng, 600, dense=dense)
         for ls_norm in ("Tdist", "l2"):
-            grids, drops = [], []
-            for strat in ("sort", "scatter_min"):
-                cfg = fu.FusionConfig(ls_norm=ls_norm, slot_strategy=strat,
-                                      max_candidates_per_pixel=4)
-                g0 = fu.empty_grid(H, W, jnp.float64)
-                g, nf, nd = fu.fuse_frame(g0, cand, r.left, cfg)
-                grids.append(g)
-                drops.append((int(nf), int(nd)))
-            assert drops[0] == drops[1]
-            if dense:
-                assert drops[0][1] > 0  # overflow actually exercised
-            for a, b in zip(jax.tree_util.tree_leaves(grids[0]),
-                            jax.tree_util.tree_leaves(grids[1])):
-                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-        naive = []
-        for strat in ("sort", "scatter_min"):
-            cfg = fu.FusionConfig(slot_strategy=strat,
+            cfg = fu.FusionConfig(ls_norm=ls_norm,
                                   max_candidates_per_pixel=4)
             g0 = fu.empty_grid(H, W, jnp.float64)
-            naive.append(fu.naive_fuse_frame(g0, cand, r.left, cfg))
-        for a, b in zip(jax.tree_util.tree_leaves(naive[0]),
-                        jax.tree_util.tree_leaves(naive[1])):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            g1, nf1, nd1 = fu.fuse_frame(g0, cand, r.left, cfg)
+            g2, nf2, nd2 = fu.fuse_frame(g0, cand, r.left, cfg)
+            assert (int(nf1), int(nd1)) == (int(nf2), int(nd2))
+            if dense:
+                assert int(nd1) > 0  # overflow actually exercised
+            for a, b in zip(jax.tree_util.tree_leaves(g1),
+                            jax.tree_util.tree_leaves(g2)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
