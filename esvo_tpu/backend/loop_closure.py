@@ -66,10 +66,30 @@ class LoopClosureConfig:
     # can physically accumulate — a larger "correction" means the
     # dual-start glued clouds of different places (dense clouds of the
     # same density can pseudo-align once the centroid start overlaps
-    # them, with inlier stats near the accept region)
-    icp_max_correction_trans: float = 1.0   # m
+    # them, with inlier stats near the accept region).
+    # The translation bound is DRIFT-PROPORTIONAL when the caller passes
+    # the elapsed time between the two visits (gap_s):
+    #     cap = min(icp_max_correction_trans,
+    #               icp_drift_floor + icp_drift_rate * gap_s)
+    # so a 10 s revisit cannot claim the metre-scale correction that a
+    # flat cap sized for worst-case bootstrap drift would admit (the r4
+    # campaign's 2 m flat cap let 14/189 false edges through); without
+    # gap_s the flat cap applies.
+    icp_max_correction_trans: float = 1.0   # m (absolute ceiling)
     icp_max_correction_rot: float = 0.5     # rad
-    # information weights of an accepted loop edge (pose-graph units)
+    icp_drift_rate: float = 0.05            # m of drift per elapsed second
+    icp_drift_floor: float = 0.3            # m minimum allowance
+    # forward-backward (reciprocal) consistency: re-run the ICP with the
+    # clouds swapped, starting from the inverse of the forward estimate;
+    # a genuine revisit converges to the inverse transform while a
+    # pseudo-alignment of different places generally does not compose to
+    # identity. Composition tolerances:
+    reciprocal: bool = True
+    reciprocal_tol_trans: float = 0.10      # m
+    reciprocal_tol_rot: float = 0.10        # rad
+    # information weights of an accepted loop edge (pose-graph units);
+    # per-edge weights are scaled by the ICP inlier statistics (see
+    # verify_loop_icp's edge_quality)
     w_rot: float = 200.0
     w_trans: float = 200.0
 
@@ -282,17 +302,39 @@ def icp_align(pts_a: jax.Array, valid_a: jax.Array, pts_b: jax.Array,
     return T, frac, mean_d
 
 
+def edge_quality(frac: float, frac_rev: float, mean_d: float,
+                 cfg: LoopClosureConfig) -> float:
+    """Scale factor in (0, 1] for an accepted edge's information weight.
+
+    Information of a point-cloud alignment scales with the inlier count
+    and inversely with the residual scale; normalizing against the gate
+    values puts a just-barely-accepted edge well below a tight one, so
+    the pose graph's Huber does not have to absorb weak edges at full
+    weight (r4: 14 false edges at full weight cost 0.2+ m of pg ATE)."""
+    f = min(frac, frac_rev) if frac_rev >= 0 else frac
+    q = f * min(1.0, cfg.icp_max_mean_dist / max(mean_d, 1e-9))
+    return float(np.clip(q, 0.05, 1.0))
+
+
 def verify_loop_icp(p_cand: jax.Array, valid_cand: jax.Array,
                     p_cur: jax.Array, valid_cur: jax.Array,
                     T_world_cand, T_world_cur_est,
-                    cfg: LoopClosureConfig):
+                    cfg: LoopClosureConfig, gap_s: float | None = None):
     """Geometric loop verification by aligning the candidate and current
     keyframes' local 3D clouds (see icp_align).
+
+    Gates, in order: inlier fraction, mean inlier residual,
+    drift-proportional correction plausibility (see LoopClosureConfig;
+    `gap_s` is the elapsed time between the two keyframes), and
+    forward-backward (reciprocal) consistency — the swapped-cloud ICP
+    started from the inverse estimate must compose with the forward
+    estimate to (near) identity.
 
     p_cand/p_cur: (N, 3)/(M, 3) points in each keyframe's CAMERA frame.
     Returns (accepted, T_edge (4, 4), inlier_fraction, mean_dist, info)
     with T_edge = T_cand^-1 T_cur such that p_cand = T_edge p_cur; info
-    is a per-call diagnostics dict (gate-by-gate values)."""
+    is a per-call diagnostics dict (gate-by-gate values + the edge
+    quality for information weighting)."""
     Ta = np.asarray(T_world_cand, np.float64)
     Tb = np.asarray(T_world_cur_est, np.float64)
     T0 = jnp.asarray(np.linalg.inv(Ta) @ Tb, p_cand.dtype)
@@ -310,7 +352,12 @@ def verify_loop_icp(p_cand: jax.Array, valid_cand: jax.Array,
         T, frac, mean_d = T2, frac2, mean_d2
     frac = float(frac)
     mean_d = float(mean_d)
-    # drift-plausibility gate (see LoopClosureConfig)
+    # drift-plausibility gate, proportional to the inter-visit gap when
+    # known (see LoopClosureConfig)
+    cap_t = cfg.icp_max_correction_trans
+    if gap_s is not None:
+        cap_t = min(cap_t,
+                    cfg.icp_drift_floor + cfg.icp_drift_rate * abs(gap_s))
     dT = np.linalg.inv(np.asarray(T0, np.float64)) @ np.asarray(
         T, np.float64)
     corr_t = float(np.linalg.norm(dT[:3, 3]))
@@ -318,9 +365,29 @@ def verify_loop_icp(p_cand: jax.Array, valid_cand: jax.Array,
         (np.trace(dT[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)))
     ok = (frac >= cfg.icp_min_inlier_fraction
           and mean_d <= cfg.icp_max_mean_dist
-          and corr_t <= cfg.icp_max_correction_trans
+          and corr_t <= cap_t
           and corr_r <= cfg.icp_max_correction_rot)
+    # reciprocal (forward-backward) consistency — only spent on edges
+    # that cleared every cheap gate
+    frac_rev, recip_t, recip_r = -1.0, -1.0, -1.0
+    if ok and cfg.reciprocal:
+        T_np = np.asarray(T, np.float64)
+        T_rev, frac_rev, _ = icp_align(
+            p_cur, valid_cur, p_cand, valid_cand,
+            jnp.asarray(np.linalg.inv(T_np), p_cand.dtype),
+            cfg.icp_max_corr_dist, cfg.icp_iters, cfg.icp_coarse_mult,
+            centroid_init=False)
+        frac_rev = float(frac_rev)
+        comp = T_np @ np.asarray(T_rev, np.float64)    # ~ identity
+        recip_t = float(np.linalg.norm(comp[:3, 3]))
+        recip_r = float(np.arccos(np.clip(
+            (np.trace(comp[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)))
+        ok = (recip_t <= cfg.reciprocal_tol_trans
+              and recip_r <= cfg.reciprocal_tol_rot
+              and frac_rev >= cfg.icp_min_inlier_fraction)
     # per-call diagnostics returned to the caller (gate-by-gate values)
     info = {"frac": frac, "mean_d": mean_d, "corr_t": corr_t,
-            "corr_r": corr_r}
+            "corr_r": corr_r, "cap_t": cap_t, "frac_rev": frac_rev,
+            "recip_t": recip_t, "recip_r": recip_r,
+            "quality": edge_quality(frac, frac_rev, mean_d, cfg)}
     return ok, np.asarray(T, np.float64), frac, mean_d, info

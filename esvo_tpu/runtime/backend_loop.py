@@ -46,6 +46,7 @@ class BackendLoop:
                       float(P[1, 2]))
         self.voxel_size = voxel_size
         self._mapping_cycles = 0
+        self._last_kf_cycle = 0
         # sliding window of (time, T_world_kf, p_cam (frame-local), uv,
         # valid) — points are stored in keyframe-camera coordinates so a
         # refined pose automatically moves its points (a world-coordinate
@@ -90,6 +91,7 @@ class BackendLoop:
         # the previous frame must not mix into the next BA window
         if getattr(sys, "reset_count", 0) != self._seen_reset:
             self._seen_reset = sys.reset_count
+            self._last_kf_cycle = 0
             self._kfs = []
             self._mapping_cycles = 0
         # only a tick whose (finalized) mapping cycle actually ran counts
@@ -98,9 +100,13 @@ class BackendLoop:
         if sys.status != SystemStatus.WORKING \
                 or not ("bm_stats" in tick_out or "sgm_points" in tick_out):
             return None
-        self._mapping_cycles += 1
-        if self._mapping_cycles % self.keyframe_every != 0:
+        # a device-resident dispatch covers several mapping cycles
+        # (runtime/resident.py reports them in n_cycles); cadence is
+        # counted in CYCLES, sampled at call granularity
+        self._mapping_cycles += int(tick_out.get("n_cycles", 1))
+        if self._mapping_cycles - self._last_kf_cycle < self.keyframe_every:
             return None
+        self._last_kf_cycle = self._mapping_cycles
         kf = self._sample_keyframe()
         if kf is None:
             return None
@@ -217,6 +223,7 @@ class BackendLoop:
              d["oks"][offs[k]:offs[k + 1]])
             for k in range(len(d["counts"]))]
         self._mapping_cycles = int(d["mapping_cycles"])
+        self._last_kf_cycle = self._mapping_cycles
         self.num_ba_runs = int(d["num_ba_runs"])
         self.last_correction = d["last_correction"]
         self._seen_reset = getattr(self.system, "reset_count", 0)

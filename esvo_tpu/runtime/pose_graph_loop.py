@@ -64,8 +64,9 @@ class PoseGraphLoop:
         # keyframes: (time, T_world (4,4) np, p_cam (N,3), valid (N,))
         # points stored kf-local so optimized poses move them
         self._kfs: list[tuple] = []
-        self._loop_edges: list[tuple] = []   # (i, j, T_ij (4,4))
+        self._loop_edges: list[tuple] = []   # (i, j, T_ij, w_rot, w_trans)
         self._mapping_cycles = 0
+        self._last_kf_cycle = 0
         self._seen_reset = getattr(system, "reset_count", 0)
         self.num_loop_closures = 0
         self.num_optimizations = 0
@@ -102,8 +103,8 @@ class PoseGraphLoop:
             return
         self._kfs = self._kfs[shift:]
         self.detector.drop_oldest(shift)
-        self._loop_edges = [(i - shift, j - shift, T)
-                            for (i, j, T) in self._loop_edges
+        self._loop_edges = [(i - shift, j - shift, T, wr, wt)
+                            for (i, j, T, wr, wt) in self._loop_edges
                             if i >= shift and j >= shift]
 
     def _optimize(self):
@@ -128,12 +129,12 @@ class PoseGraphLoop:
             T_ij[k] = np.linalg.inv(T[k]) @ T[k + 1]
             w_rot[k], w_trans[k] = self.odom_w
             valid[k] = True
-        for n, (i, j, Tij) in enumerate(self._loop_edges):
+        for n, (i, j, Tij, wr, wt) in enumerate(self._loop_edges):
             s = K - 1 + n
             ei[s], ej[s] = i, j
             T_ij[s] = Tij
-            w_rot[s] = self.lc_cfg.w_rot
-            w_trans[s] = self.lc_cfg.w_trans
+            w_rot[s] = wr
+            w_trans[s] = wt
             valid[s] = True
 
         graph = pg.PoseGraph(
@@ -167,13 +168,18 @@ class PoseGraphLoop:
             self._kfs = []
             self._loop_edges = []
             self._mapping_cycles = 0
+            self._last_kf_cycle = 0
             self.detector = lc.LoopClosureDetector(self.lc_cfg)
         if sys.status != SystemStatus.WORKING \
                 or not ("bm_stats" in tick_out or "sgm_points" in tick_out):
             return None
-        self._mapping_cycles += 1
-        if self._mapping_cycles % self.keyframe_every != 0:
+        # a device-resident dispatch covers several mapping cycles
+        # (runtime/resident.py reports them in n_cycles); cadence is
+        # counted in CYCLES, sampled at call granularity
+        self._mapping_cycles += int(tick_out.get("n_cycles", 1))
+        if self._mapping_cycles - self._last_kf_cycle < self.keyframe_every:
             return None
+        self._last_kf_cycle = self._mapping_cycles
         ts_l = tick_out.get("ts_left")
         if ts_l is None:
             return None
@@ -200,7 +206,7 @@ class PoseGraphLoop:
             accepted, T_edge, frac, mean_d, icp_info = lc.verify_loop_icp(
                 jnp.asarray(p_cam_c), jnp.asarray(ok_c),
                 jnp.asarray(p_cam_n), jnp.asarray(ok_n),
-                T_c, T_n, self.lc_cfg)
+                T_c, T_n, self.lc_cfg, gap_s=float(t_n) - float(t_c))
             stats["lc_inlier_fraction"] = frac
             stats["lc_mean_dist"] = mean_d
             stats.update({f"lc_{k}": v for k, v in icp_info.items()
@@ -209,8 +215,14 @@ class PoseGraphLoop:
         self._kfs.append(kf)
 
         if accepted:
-            self._loop_edges.append((cand, len(self._kfs) - 1, T_edge))
+            # information weight scaled by the ICP inlier statistics: a
+            # just-barely-accepted edge constrains the graph weakly
+            q = icp_info["quality"]
+            self._loop_edges.append(
+                (cand, len(self._kfs) - 1, T_edge,
+                 self.lc_cfg.w_rot * q, self.lc_cfg.w_trans * q))
             self.num_loop_closures += 1
+            stats["lc_edge_quality"] = q
             stats.update(self._optimize())
         return stats
 
@@ -221,7 +233,7 @@ class PoseGraphLoop:
         ground truth."""
         return [(float(self._kfs[i][0]), float(self._kfs[j][0]),
                  np.asarray(T, np.float64))
-                for (i, j, T) in self._loop_edges]
+                for (i, j, T, _wr, _wt) in self._loop_edges]
 
     def optimized_trajectory(self):
         """(times (K,), T_world (K, 4, 4)) of the keyframe chain."""
@@ -253,6 +265,8 @@ class PoseGraphLoop:
             edge_j=np.asarray([e[1] for e in self._loop_edges], np.int64),
             edge_T=(np.stack([e[2] for e in self._loop_edges]) if E
                     else np.zeros((0, 4, 4))),
+            edge_wr=np.asarray([e[3] for e in self._loop_edges]),
+            edge_wt=np.asarray([e[4] for e in self._loop_edges]),
             desc=np.asarray(self.detector._D),
             desc_count=self.detector.count,
             mapping_cycles=self._mapping_cycles,
@@ -271,12 +285,21 @@ class PoseGraphLoop:
             (float(d["times"][k]), d["poses"][k],
              d["pts"][offs[k]:offs[k + 1]], d["oks"][offs[k]:offs[k + 1]])
             for k in range(len(d["counts"]))]
+        E = len(d["edge_i"])
+        # pre-r5 checkpoints carry no per-edge weights: default to the
+        # config's full information weight
+        wr = d["edge_wr"] if "edge_wr" in d \
+            else np.full(E, self.lc_cfg.w_rot)
+        wt = d["edge_wt"] if "edge_wt" in d \
+            else np.full(E, self.lc_cfg.w_trans)
         self._loop_edges = [
-            (int(i), int(j), T)
-            for i, j, T in zip(d["edge_i"], d["edge_j"], d["edge_T"])]
+            (int(i), int(j), T, float(wr[n]), float(wt[n]))
+            for n, (i, j, T) in enumerate(zip(d["edge_i"], d["edge_j"],
+                                              d["edge_T"]))]
         self.detector._D = jnp.asarray(d["desc"])
         self.detector.count = int(d["desc_count"])
         self._mapping_cycles = int(d["mapping_cycles"])
+        self._last_kf_cycle = self._mapping_cycles
         self.num_loop_closures = int(d["num_loop_closures"])
         self.num_optimizations = int(d["num_optimizations"])
         self._seen_reset = getattr(self.system, "reset_count", 0)

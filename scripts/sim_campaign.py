@@ -64,8 +64,14 @@ def parse_args(argv=None):
     ap.add_argument("--baseline", type=float, default=0.1)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--roll", type=int, default=5)
+    ap.add_argument("--resident", type=int, default=2,
+                    help="mapping rolls per device dispatch "
+                         "(runtime/resident.py; 0 = host roll path)")
     ap.add_argument("--no-ba", action="store_true")
     ap.add_argument("--no-loop-closure", action="store_true")
+    ap.add_argument("--ablate", action="store_true",
+                    help="after the main run, rerun with BA/pose-graph "
+                         "toggled off to produce the ablation ATE table")
     ap.add_argument("--aliasing", action="store_true",
                     help="give all four walls the back wall's texture "
                          "(perceptual aliasing stress for loop closure)")
@@ -175,21 +181,29 @@ def generate(args):
                         meta={**want, "sim_stats": stats})
 
 
-def run_system(args):
-    """Full closed loop via the dataset-replay entry point."""
+def run_system(args, ba=None, loop_closure=None, tag=""):
+    """Full closed loop via the dataset-replay entry point.
+
+    ba/loop_closure override the args flags (ablation variants); tag
+    names the variant's output files."""
     import run_dataset
-    depth_dir = os.path.join(args.out, "depth_maps")
+    ba = (not args.no_ba) if ba is None else ba
+    loop_closure = (not args.no_loop_closure) if loop_closure is None \
+        else loop_closure
+    depth_dir = os.path.join(args.out, "depth_maps" + tag)
     argv = ["--dataset", args.out,
             "--calib", os.path.join(args.out, "calib"),
             "--preset", "simulation",
             "--mode", "closed",
             "--roll", str(args.roll),
-            "--out", os.path.join(args.out, "trajectory.txt"),
+            "--out", os.path.join(args.out, f"trajectory{tag}.txt"),
             "--save-depth-maps", depth_dir,
             "--cache"]
-    if not args.no_ba:
+    if args.resident > 0:
+        argv += ["--resident", str(args.resident)]
+    if ba:
         argv += ["--ba"]
-    if not args.no_loop_closure:
+    if loop_closure:
         argv += ["--loop-closure"]
     # the "simulation" preset disables the median blur for the sparse
     # segment-edge streams of io/synthetic; esim streams are
@@ -214,11 +228,15 @@ def run_system(args):
     # classification against analytic GT audits the result.
     argv += ["--lc-set", "icp_max_corr_dist=0.15",
              "--lc-set", "icp_max_mean_dist=0.10",
-             # the bootstrap happens at the trajectory's fastest phase, so
-             # drift vs the earliest keyframes reaches ~1.5 m — above the
-             # 1 m default correction cap (whose job is blocking 5 m
-             # disjoint-cloud glue, still far away)
-             "--lc-set", "icp_max_correction_trans=2.0"]
+             # drift-proportional correction gating: the bootstrap
+             # happens at the trajectory's fastest phase, where drift vs
+             # the earliest keyframes reaches ~1.5 m over a ~14 s lap gap
+             # (~0.1 m/s) — the 2 m ceiling only blocks disjoint-cloud
+             # glue, while the per-gap cap floor+rate*gap polices every
+             # short-gap edge far tighter than the r4 flat cap
+             "--lc-set", "icp_max_correction_trans=2.0",
+             "--lc-set", "icp_drift_rate=0.1",
+             "--lc-set", "icp_drift_floor=0.3"]
     for ov in args.overrides:
         argv += ["--set", ov]
     return run_dataset.main(argv), depth_dir
@@ -333,6 +351,25 @@ def main(argv=None):
         summary["loop_edges_false"] = fp
         summary["loop_edge_details"] = details
     summary["depth"] = eval_depth_maps(args, depth_dir)
+
+    if args.ablate:
+        # BA-on/off x pose-graph-on/off ATE ablation on the same dataset
+        def brief(r):
+            return {"ate_rmse_m": r.get("ate_rmse_m"),
+                    "pg_ate_rmse_m": r.get("pg_ate_rmse_m"),
+                    "loop_closures": r.get("loop_closures"),
+                    "ba_runs": r.get("ba_runs"),
+                    "wall_s": round(r.get("wall_s", 0.0), 1)}
+        ablation = {"full": brief(result)}
+        for name, ba_on, lc_on in (("raw", False, False),
+                                   ("ba_only", True, False),
+                                   ("pg_only", False, True)):
+            print(f"[campaign] ablation variant: {name}")
+            r, _ = run_system(args, ba=ba_on, loop_closure=lc_on,
+                              tag="_" + name)
+            ablation[name] = brief(r)
+        summary["ablation"] = ablation
+
     with open(os.path.join(args.out, "campaign_result.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))

@@ -84,7 +84,7 @@ def test_backend_loops_checkpoint_roundtrip(tmp_path):
                          np.ones(n, bool)))
         pgl.detector.add(jnp.asarray(rng.uniform(0, 255, (48, 64))))
     pgl._loop_edges = [(0, 2, np.linalg.inv(pgl._kfs[0][1])
-                        @ pgl._kfs[2][1])]
+                        @ pgl._kfs[2][1], 150.0, 120.0)]
     pgl._mapping_cycles = 7
     pgl.num_loop_closures = 1
     pgl.save(str(tmp_path))
@@ -100,6 +100,7 @@ def test_backend_loops_checkpoint_roundtrip(tmp_path):
     assert pgl2._loop_edges[0][:2] == (0, 2)
     np.testing.assert_array_equal(pgl2._loop_edges[0][2],
                                   pgl._loop_edges[0][2])
+    assert pgl2._loop_edges[0][3:] == (150.0, 120.0)
     assert pgl2.detector.count == 3
     np.testing.assert_array_equal(np.asarray(pgl2.detector._D),
                                   np.asarray(pgl.detector._D))

@@ -1,6 +1,7 @@
 """Tests: time-surface descriptors, loop detection, verification, and
 the pose-graph runtime layer's drift correction."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from esvo_tpu.backend import loop_closure as lc
@@ -253,7 +254,8 @@ def test_detector_compaction():
     pgl = PoseGraphLoop(sysf, lc_config=cfg)
     pgl._kfs = [(float(k), np.eye(4), None, None) for k in range(8)]
     pgl.detector = det  # count=5 after the adds above
-    pgl._loop_edges = [(0, 6, np.eye(4)), (5, 7, np.eye(4))]
+    pgl._loop_edges = [(0, 6, np.eye(4), 200.0, 200.0),
+                   (5, 7, np.eye(4), 200.0, 200.0)]
     pgl._compact()
     assert len(pgl._kfs) == 4
     assert len(pgl._loop_edges) == 1
@@ -306,3 +308,52 @@ def test_icp_align_recovers_transform():
     assert not ok
     assert np.linalg.norm(T_bad[:3, 3]) > \
         lc.LoopClosureConfig().icp_max_correction_trans
+
+
+def test_drift_proportional_correction_cap():
+    """The translation-correction gate scales with the inter-visit gap:
+    a correction plausible after a long gap is implausible after a short
+    one (VERDICT r4: a flat 2 m cap sized for bootstrap drift admitted
+    14/189 false edges)."""
+    rng = np.random.default_rng(9)
+    pts = volume_points(9, n=800)
+    keep = jnp.asarray(rng.random(len(pts)) < 0.8)
+    p = jnp.asarray(pts + rng.normal(0, 0.002, pts.shape))
+    # current-pose estimate drifted 0.6 m from truth: the ICP recovers
+    # the alignment, implying a 0.6 m correction
+    T_true = np.eye(4)
+    T_est = np.eye(4)
+    T_est[:3, 3] = [0.6, 0.0, 0.0]
+    cfg = lc.LoopClosureConfig(icp_max_corr_dist=0.05,
+                               icp_max_mean_dist=0.05,
+                               icp_max_correction_trans=1.0,
+                               icp_drift_rate=0.05, icp_drift_floor=0.2)
+    # short gap: cap = 0.2 + 0.05*2 = 0.3 < 0.6 -> rejected
+    ok_short, _, frac_s, _, info_s = lc.verify_loop_icp(
+        p, keep, p, keep, T_true, T_est, cfg, gap_s=2.0)
+    assert not ok_short
+    assert info_s["corr_t"] > info_s["cap_t"]
+    assert frac_s > 0.5  # rejection came from the cap, not alignment
+    # long gap: cap = min(1.0, 0.2 + 0.05*20) = 1.0 > 0.6 -> accepted
+    ok_long, T_edge, frac_l, _, info_l = lc.verify_loop_icp(
+        p, keep, p, keep, T_true, T_est, cfg, gap_s=20.0)
+    assert ok_long
+    # edge recovered the identity relative pose despite the drifted guess
+    assert np.linalg.norm(T_edge[:3, 3]) < 0.02
+    # reciprocal stats recorded on the accepted edge
+    assert info_l["frac_rev"] > 0.5
+    assert info_l["recip_t"] < cfg.reciprocal_tol_trans
+    assert 0.05 <= info_l["quality"] <= 1.0
+    # no gap information: flat ceiling applies
+    ok_flat, _, _, _, info_f = lc.verify_loop_icp(
+        p, keep, p, keep, T_true, T_est, cfg)
+    assert ok_flat and info_f["cap_t"] == cfg.icp_max_correction_trans
+
+
+def test_edge_quality_scales_with_inlier_stats():
+    cfg = lc.LoopClosureConfig(icp_max_mean_dist=0.02)
+    strong = lc.edge_quality(0.9, 0.9, 0.005, cfg)
+    weak = lc.edge_quality(0.32, 0.30, 0.019, cfg)
+    assert strong == pytest.approx(0.9)
+    assert 0.05 <= weak < 0.4 < strong
+    assert lc.edge_quality(0.31, -1.0, 0.02, cfg) == pytest.approx(0.31)

@@ -54,7 +54,7 @@ def test_loop_closure_on_real_system():
     # inverse depth at 1.2-3 m scene depth -> up to ~0.1 m); the pose
     # graph's Huber absorbs that scale
     times = [kf[0] for kf in pgl._kfs]
-    for (i, j, T_edge) in pgl._loop_edges:
+    for (i, j, T_edge, _wr, _wt) in pgl._loop_edges:
         gt_i = interpolate_gt_pose(scene, times[i])
         gt_j = interpolate_gt_pose(scene, times[j])
         rel_gt = np.linalg.inv(gt_i) @ gt_j
