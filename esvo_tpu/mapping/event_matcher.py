@@ -8,13 +8,23 @@ by polarity and epipolar distance, then picks the candidate whose
 triangulated depth best explains both time surfaces (ZNCC motion check,
 EventMatcher.cpp:66-162).
 
-TPU design: right events are sorted by time, so the temporal window is a
-contiguous index range — each left event gathers a fixed window of K
-candidate slots around its searchsorted position (overflow beyond K is
-dropped and counted, not silently ignored). All N x K candidate checks,
-warpings and patch ZNCCs evaluate as one batched program.
+TPU design: right events are sorted by (epipolar row band, time) per
+polarity, so each left event's candidates form a small set of contiguous
+index ranges — one temporal window per row band its epipolar interval
+touches. Windowing on time alone collapses on dense/bursty streams: at
+the campaign's 480k ev/s the +-25 us window holds ~270 same-polarity
+candidates (mean; p99 470), so a K=32 temporal window silently dropped
+88 % of them (r5 measurement, scripts/measure_em_overflow.py) — while
+after the row-band split the same window holds only the 2-3 candidates
+that can actually pass the |dy| <= 0.5 px epipolar gate
+(EventMatcher.cpp:91-106 applies the same gate per candidate). Overflow
+beyond the K slots is still counted, not silently ignored. All N x K
+candidate checks, warpings and patch ZNCCs evaluate as one batched
+program.
 """
 from __future__ import annotations
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +43,12 @@ class EventMatcherConfig:
     ts_ncc_threshold: float = struct.field(pytree_node=False, default=0.1)
     patch_size_x: int = struct.field(pytree_node=False, default=25)
     patch_size_y: int = struct.field(pytree_node=False, default=25)
-    max_candidates: int = struct.field(pytree_node=False, default=32)
+    # candidate slots per left event, split over the NB epipolar row
+    # bands. Measured on the 480k ev/s campaign stream
+    # (scripts/measure_em_overflow.py): in-band in-window candidates
+    # mean 1.7 / p99 6; 64 slots (32/band) lose 0.5 % of candidates to
+    # hot-row bursts (32 slots: 1.3 %)
+    max_candidates: int = struct.field(pytree_node=False, default=64)
 
 
 def match_events_temporal(*args, **kwargs) -> EventMatches:
@@ -66,37 +81,77 @@ def match_events_temporal_stats(
     dtype = ts_left.dtype
     wx, wy = cfg.patch_size_x, cfg.patch_size_y
 
-    # temporal window -> contiguous candidate indices
-    # (EventMatcher.cpp:66-89). Two wrinkles vs a raw searchsorted:
+    # (band, time) window -> candidate indices (EventMatcher.cpp:66-89
+    # + the |dy| epipolar gate of :91-106 folded into the windowing).
+    # Wrinkles vs a raw searchsorted:
     # (a) invalid lanes of the fixed-capacity frame hold t=0 at the
     #     tail (io/events.frame_events) and would inflate lo;
-    # (b) wrong-polarity events would consume candidate slots.
-    # So build one time-sorted ordering PER POLARITY (invalid/other-
-    # polarity keys pushed to +inf) and window inside the matching one.
+    # (b) wrong-polarity events would consume candidate slots;
+    # (c) on dense streams the temporal window alone holds hundreds of
+    #     candidates, nearly all of which fail the epipolar gate.
+    # So build one (row-band, time)-sorted ordering PER POLARITY
+    # (invalid/other-polarity keys pushed past the end) and window
+    # inside each row band the left event's epipolar interval touches.
+    # Composite int32 sort key: band << T_BITS | rel-time microseconds
+    # (exact ordering — no float-precision aliasing between bands).
     t_lo = left_t - cfg.time_threshold / 2
     t_hi = left_t + cfg.time_threshold / 2
     M = right_t.shape[0]
+    e = cfg.epipolar_threshold
+    # row bands touched by [y - e, y + e]: floor(y - e) .. floor(y + e);
+    # floor(y + 2e') - floor(y) <= ceil(2e) for any y, so NB bands
+    # starting at floor(y - e) always cover the interval
+    NB = int(np.ceil(2 * e)) + 1
+    Kb = max(K // NB, 1)                 # slots per band
+    T_BITS = 21                          # rel-time in us < 2^21 (~2.1 s)
+    t0 = jnp.minimum(jnp.min(jnp.where(right_valid, right_t, jnp.inf)),
+                     jnp.min(t_lo))
+    t0 = jnp.where(jnp.isfinite(t0), t0, 0.0)
+
+    def us(t):
+        return jnp.clip(((t - t0) * 1e6).astype(jnp.int32), 0,
+                        (1 << T_BITS) - 1)
+
+    band_r = jnp.floor(right_x_rect[:, 1]).astype(jnp.int32)
+    band_r = jnp.clip(band_r, 0, H)
+    BIG = jnp.int32((H + 2) << T_BITS)
 
     def polarity_order(sel):
-        key = jnp.where(sel, right_t, jnp.inf)
-        order = jnp.argsort(key)                 # stable; inf tail
-        return order, key[order], jnp.sum(sel)
+        key = jnp.where(sel, (band_r << T_BITS) | us(right_t), BIG)
+        order = jnp.argsort(key)                 # stable; BIG tail
+        return order, key[order]
 
-    ord_pos, key_pos, n_pos = polarity_order(right_valid & right_p)
-    ord_neg, key_neg, n_neg = polarity_order(right_valid & ~right_p)
-    lo_pos = jnp.searchsorted(key_pos, t_lo, side="left", method="sort")
-    lo_neg = jnp.searchsorted(key_neg, t_lo, side="left", method="sort")
-    hi_pos = jnp.searchsorted(key_pos, t_hi, side="right", method="sort")
-    hi_neg = jnp.searchsorted(key_neg, t_hi, side="right", method="sort")
-    lo = jnp.where(left_p, lo_pos, lo_neg)
-    hi = jnp.where(left_p, hi_pos, hi_neg)
-    n_same = jnp.where(left_p, n_pos, n_neg)
-    # candidates lost to the fixed K-slot window (docstring contract)
+    ord_pos, key_pos = polarity_order(right_valid & right_p)
+    ord_neg, key_neg = polarity_order(right_valid & ~right_p)
+
+    bands_l = (jnp.floor(left_x_rect[:, 1] - e).astype(jnp.int32)[:, None]
+               + jnp.arange(NB, dtype=jnp.int32)[None, :])      # (N, NB)
+    bands_l = jnp.clip(bands_l, 0, H)
+    q_lo = (bands_l << T_BITS) | us(t_lo)[:, None]              # (N, NB)
+    q_hi = (bands_l << T_BITS) | us(t_hi)[:, None]
+
+    def bounds(keys):
+        lo = jnp.searchsorted(keys, q_lo.reshape(-1), side="left",
+                              method="sort").reshape(q_lo.shape)
+        hi = jnp.searchsorted(keys, q_hi.reshape(-1), side="right",
+                              method="sort").reshape(q_hi.shape)
+        return lo, hi
+
+    lo_p, hi_p = bounds(key_pos)
+    lo_n, hi_n = bounds(key_neg)
+    lo = jnp.where(left_p[:, None], lo_p, lo_n)                 # (N, NB)
+    hi = jnp.where(left_p[:, None], hi_p, hi_n)
+    # candidates lost to the fixed per-band slot budget (docstring
+    # contract; the overflow counter keeps the truncation observable)
     window_overflow = jnp.sum(
-        jnp.where(left_valid, jnp.maximum(hi - lo - K, 0), 0))
+        jnp.where(left_valid[:, None], jnp.maximum(hi - lo - Kb, 0), 0))
 
-    win = lo[:, None] + jnp.arange(K, dtype=lo.dtype)[None, :]   # (N, K)
-    in_range = win < n_same[:, None]
+    # gather Kb slots per band, concatenated to (N, NB*Kb <= K)
+    win = (lo[:, :, None]
+           + jnp.arange(Kb, dtype=lo.dtype)[None, None, :])    # (N, NB, Kb)
+    in_range = win < hi[:, :, None]
+    win = win.reshape(N, NB * Kb)
+    in_range = in_range.reshape(N, NB * Kb)
     win_c = jnp.clip(win, 0, M - 1)
     idx_c = jnp.where(left_p[:, None], ord_pos[win_c], ord_neg[win_c])
     c_t = right_t[idx_c]

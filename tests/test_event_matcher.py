@@ -133,13 +133,54 @@ def test_window_overflow_counted():
     lt = jnp.asarray([5e-4])
     T_lv = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float64), (1, 4, 4))
     cfg = EventMatcherConfig(time_threshold=1e-3, max_candidates=4)
-    M = 10  # 10 same-polarity in-window candidates, 4 slots -> 6 dropped
+    # 10 same-polarity in-window candidates, all in ONE row band; the
+    # K=4 slots split over NB=2 epipolar bands -> 2 slots in the
+    # populated band -> 8 dropped and counted
+    M = 10
     rx = jnp.tile(jnp.asarray([[50.0, 40.0]]), (M, 1))
     rt = jnp.linspace(1e-4, 9e-4, M)
     _, stats = match_events_temporal_stats(
         ts, ts, lx, lt, jnp.asarray([True]), jnp.ones(1, bool), T_lv,
         rx, rt, jnp.ones(M, bool), jnp.ones(M, bool), r, cfg)
-    assert int(stats["window_overflow"]) == 6
+    assert int(stats["window_overflow"]) == 8
+
+
+def test_band_window_ignores_off_row_clutter():
+    """Dense same-polarity clutter on OTHER rows must consume no
+    candidate slots: the (row-band, time) windowing admits only events
+    that can pass the epipolar gate (r5; a purely temporal window
+    dropped 88% of in-window candidates on the 480k ev/s campaign
+    stream, scripts/measure_em_overflow.py)."""
+    from esvo_tpu.mapping.event_matcher import match_events_temporal_stats
+    r = rig()
+    base = np.zeros((H, W))
+    base[:, ::6] = 200.0          # vertical stripes: textured patches
+    ts_l = jnp.asarray(base)
+    ts_r = jnp.asarray(np.roll(base, -10, axis=1))
+    lx = jnp.asarray([[60.0, 40.0]])
+    lt = jnp.asarray([5e-4])
+    T_lv = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float64), (1, 4, 4))
+    cfg = EventMatcherConfig(time_threshold=1e-3, max_candidates=8,
+                             ts_ncc_threshold=0.6, patch_size_x=9,
+                             patch_size_y=9)
+    # one true candidate on the epipolar row + 500 clutter events spread
+    # over distant rows, ALL inside the temporal window and earlier in
+    # time (a temporal-only window would fill every slot with clutter)
+    rng = np.random.default_rng(0)
+    M = 501
+    rx = np.stack([rng.uniform(20, 100, M),
+                   rng.uniform(60, 80, M)], axis=1)
+    rx[0] = [50.0, 40.0]                        # the genuine match
+    rt = np.full(M, 4e-4)
+    rt[0] = 5e-4
+    order = np.argsort(rt, kind="stable")
+    matches, stats = match_events_temporal_stats(
+        ts_l, ts_r, lx, lt, jnp.asarray([True]), jnp.ones(1, bool), T_lv,
+        jnp.asarray(rx[order]), jnp.asarray(rt[order]),
+        jnp.ones(M, bool), jnp.ones(M, bool), r, cfg)
+    assert bool(matches.valid[0])
+    assert abs(float(matches.disparity[0]) - 10.0) < 1e-6
+    assert int(stats["window_overflow"]) == 0
 
 
 def test_polarity_and_epipolar_rejection():
