@@ -197,7 +197,29 @@ def bench_pipeline(W, H, N, disp, bm_cfg, dp_cfg, reps, rng):
         jax.block_until_ready(out)
         t_cycle = min(t_cycle, (time.perf_counter() - t0) / reps)
 
-    # --- XLA cost-model roofline per stage ---
+    # --- roofline per stage ---
+    # Two byte counts: XLA's cost model ("xla_gb") counts LOGICAL
+    # accesses of every HLO op before fusion — it over-states real HBM
+    # traffic wherever the compiler keeps intermediates on-chip, and in
+    # r4 it produced membw_frac > 1 for solve (physically impossible,
+    # useless for guiding optimization). "min_hbm_gb" is the
+    # algorithmic MINIMUM traffic (every input array read once + every
+    # output written once), so membw_frac = min_bytes/time/peak is a
+    # true lower bound on achieved-bandwidth fraction: a stage with low
+    # membw_frac AND low mfu is latency/issue-bound, not roofline-bound.
+    mg = dp_cfg.window_margin
+    Wy = dp_cfg.patch_size_y + 1 + 2 * mg
+    Wx = dp_cfg.patch_size_x + 1 + 2 * mg
+    min_bytes = {
+        # insert: 2 grids r+w; render: grid r, image w, remap r+w
+        "ts": (8 * H * W + 4 * N) * 4,
+        # both surfaces read once + per-event match outputs
+        "bm": (2 * H * W + 16 * N) * 4,
+        # both windows gathered once (from the surfaces) + outputs
+        "solve": (2 * N * Wy * Wx + 2 * H * W + 16 * N) * 4,
+        # history read once + 8-plane grid written once + points/poses
+        "fuse": (30 * F * N + 9 * H * W) * 4,
+    }
     costs = {
         "ts": (xla_cost(jts, (ts_state, ev_x, ev_y, ev_t, ev_p, ev_valid)),
                t_ts),
@@ -211,9 +233,10 @@ def bench_pipeline(W, H, N, disp, bm_cfg, dp_cfg, reps, rng):
             continue
         roofline[name] = {
             "gflops": round(flops / 1e9, 3),
-            "hbm_gb": round(bts / 1e9, 4),
+            "xla_gb": round(bts / 1e9, 4),
+            "min_hbm_gb": round(min_bytes[name] / 1e9, 4),
             "mfu": round(flops / t / PEAK_FLOPS, 4),
-            "membw_frac": round(bts / t / PEAK_HBM_BYTES, 4),
+            "membw_frac": round(min_bytes[name] / t / PEAK_HBM_BYTES, 4),
         }
 
     return {

@@ -67,6 +67,12 @@ class DepthProblemConfig:
     # from the BM initialization before the residual degrades to the
     # out-of-bounds penalty; < 0 disables windowing (direct gathers).
     window_margin: int = struct.field(pytree_node=False, default=8)
+    # LM execution backend: "auto" runs the fused Pallas kernel
+    # (ops/pallas_lm.py — all iterations in VMEM, shift-select patch
+    # sampling, analytic depth Jacobian) on TPU for f32 Tdist/l2 and
+    # the XLA scan elsewhere; "pallas" forces the kernel (interpret
+    # mode off-TPU — CPU parity tests); "xla" forces the scan.
+    lm_kernel: str = struct.field(pytree_node=False, default="auto")
 
     @property
     def td_scale_squared(self) -> float:
@@ -354,6 +360,26 @@ def solve(matches_x: jax.Array, T_world_virtual: jax.Array,
         oy2, ox2 = origin(u2_0, v2_0)
         win1 = slice_patches(ts_left, oy1, ox1, Wy, Wx)
         win2 = slice_patches(ts_right, oy2, ox2, Wy, Wx)
+
+        use_pallas = (cfg.lm_kernel != "xla"
+                      and cfg.ls_norm in ("Tdist", "l2")
+                      and dtype == jnp.float32
+                      and (cfg.lm_kernel == "pallas"
+                           or jax.default_backend() == "tpu"))
+        if use_pallas:
+            from esvo_tpu.ops.pallas_lm import pallas_lm_solve
+            d, cost, jtj = pallas_lm_solve(
+                P_left, P_right, Ainv, u_ev, v_ev,
+                jnp.asarray(d_init, dtype), oy1, ox1, oy2, ox2, rows_lv,
+                win1, win2, wy=wy, wx=wx, Wy=Wy, Wx=Wx, H=H, W=W,
+                ls_norm=cfg.ls_norm, nu=float(cfg.td_nu),
+                scale2_init=float(cfg.td_scale_squared),
+                td_iters=cfg.td_fixed_point_iters,
+                max_iteration=cfg.max_iteration,
+                interpret=jax.default_backend() != "tpu")
+            return _finalize(d, cost, jtj, matches_x, T_world_virtual,
+                             valid, P_left, cfg, dtype)
+
         sample = jax.vmap(_window_patch,
                           in_axes=(0, 0, 0, 0, 0) + (None,) * 4)
 
@@ -430,8 +456,17 @@ def solve(matches_x: jax.Array, T_world_virtual: jax.Array,
         step, (d, lam, strikes, f, jac, cost), None,
         length=cfg.max_iteration)
 
-    # variance from the final Jacobian (DepthProblemSolver.cpp:195-212)
     jtj = jnp.sum(jac * jac, axis=-1)
+    return _finalize(d, cost, jtj, matches_x, T_world_virtual, valid,
+                     P_left, cfg, dtype)
+
+
+def _finalize(d, cost, jtj, matches_x, T_world_virtual, valid, P_left,
+              cfg: DepthProblemConfig, dtype) -> DepthEstimates:
+    """Variance from the final Jacobian + DepthPoint conversion — the
+    shared tail of the XLA-scan and Pallas LM paths
+    (DepthProblemSolver.cpp:114-134,195-212)."""
+    m = cfg.patch_area
     inv_jtj = jnp.where(jtj > 1e-20, 1.0 / jnp.maximum(jtj, 1e-20), 1e20)
     if cfg.ls_norm == "Tdist":
         variance = cfg.td_stdvar ** 2 * inv_jtj
@@ -441,7 +476,6 @@ def solve(matches_x: jax.Array, T_world_virtual: jax.Array,
 
     ok = valid & (d > 0.001)
 
-    # DepthPoint conversion (DepthProblemSolver.cpp:114-134)
     p_cam = jax.vmap(lambda c, dd: cam_to_world(P_left, c, dd))(matches_x, d)
     if cfg.ls_norm == "Tdist":
         scale2 = variance * (cfg.td_nu - 2.0) / cfg.td_nu
