@@ -16,7 +16,12 @@ Usage (wired into scripts/run_dataset.py via --live-view PORT):
     viewer.close()
 
 Endpoints: `/` auto-refreshing dashboard; `/frame/<name>.png` latest
-frame; `/state.json` panel list + text lines.
+frame; `/state.json` panel list + text lines; POST `/param` with a
+`section.field=value` body and POST `/reset` — the dynamic_reconfigure
+analogue (reference GUI spec esvo_core/cfg/DVS_MappingStereo.cfg, whose
+change handler triggers a system reset, esvo_Mapping.cpp:806-866).
+Callers wire `on_param`/`on_reset` to `EsvoSystem.reconfigure()`/
+`reset()` (scripts/run_dataset.py does).
 """
 from __future__ import annotations
 
@@ -56,8 +61,24 @@ _PAGE = """<!doctype html><html><head><title>esvo_tpu live</title>
  .panel div {{ text-align:center; padding:2px; color:#8bc }}
  #text {{ white-space:pre; color:#9d9; margin:8px 0 }}
 </style></head><body>
-<h3>esvo_tpu live view</h3><div id="text"></div><div id="panels"></div>
+<h3>esvo_tpu live view</h3><div id="text"></div>
+<div id="ctl" style="margin:8px 0">
+ <input id="param" size="42" placeholder="section.field=value">
+ <button onclick="setParam()">set</button>
+ <button onclick="doReset()">reset system</button>
+ <span id="ctlmsg" style="color:#c96;margin-left:8px"></span>
+</div>
+<div id="panels"></div>
 <script>
+async function setParam() {{
+  const v = document.getElementById('param').value;
+  const r = await fetch('param', {{method:'POST', body:v}});
+  document.getElementById('ctlmsg').textContent = await r.text();
+}}
+async function doReset() {{
+  const r = await fetch('reset', {{method:'POST'}});
+  document.getElementById('ctlmsg').textContent = await r.text();
+}}
 async function tick() {{
   try {{
     const s = await (await fetch('state.json')).json();
@@ -87,11 +108,19 @@ class LiveViewer:
     no history — this is a monitor, not a recorder)."""
 
     def __init__(self, port: int = 8090, host: str = "0.0.0.0",
-                 period_ms: int = 250, scale_pct: int = 100):
+                 period_ms: int = 250, scale_pct: int = 100,
+                 on_param=None, on_reset=None):
+        """on_param: callable(str `section.field=value`) -> status text
+        (raise ValueError to reject); on_reset: callable() -> None.
+        Both run on the HTTP thread — wire them to callables that queue
+        or lock appropriately (run_dataset applies them between
+        chunks)."""
         self._frames: dict[str, bytes] = {}
         self._text: dict[str, str] = {}
         self._order: list[str] = []
         self._lock = threading.Lock()
+        self._on_param = on_param
+        self._on_reset = on_reset
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -118,6 +147,36 @@ class LiveViewer:
                         self._reply(404, "text/plain", b"no such frame")
                     else:
                         self._reply(200, "image/png", png)
+                else:
+                    self._reply(404, "text/plain", b"not found")
+
+            def do_POST(self):
+                path = self.path.split("?")[0]
+                n = int(self.headers.get("Content-Length", 0) or 0)
+                body = self.rfile.read(n).decode("utf-8",
+                                                 "replace").strip()
+                if path == "/param":
+                    if viewer._on_param is None:
+                        self._reply(501, "text/plain",
+                                    b"no parameter handler wired")
+                        return
+                    try:
+                        msg = viewer._on_param(body) or "ok"
+                        self._reply(200, "text/plain", str(msg).encode())
+                    except Exception as e:  # reject with the reason
+                        self._reply(400, "text/plain",
+                                    f"{type(e).__name__}: {e}".encode())
+                elif path == "/reset":
+                    if viewer._on_reset is None:
+                        self._reply(501, "text/plain",
+                                    b"no reset handler wired")
+                        return
+                    try:
+                        viewer._on_reset()
+                        self._reply(200, "text/plain", b"reset queued")
+                    except Exception as e:
+                        self._reply(400, "text/plain",
+                                    f"{type(e).__name__}: {e}".encode())
                 else:
                     self._reply(404, "text/plain", b"not found")
 

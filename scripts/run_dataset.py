@@ -269,9 +269,29 @@ def main(argv=None):
                                              or args.live_view),
                         mesh=mesh)
     viewer = None
+    ctl = {"params": [], "reset": False}
     if args.live_view is not None:
+        import threading as _threading
+        from esvo_tpu.runtime.config import with_overrides as _wo
         from esvo_tpu.utils.live_view import LiveViewer
-        viewer = LiveViewer(port=args.live_view)
+        ctl_lock = _threading.Lock()
+
+        def _on_param(s):
+            # validate against the config schema NOW (reject bad fields
+            # at the HTTP request); applied between chunks on the main
+            # loop — the dynamic_reconfigure analogue, whose change
+            # handler resets the system (esvo_Mapping.cpp:806-866)
+            _wo(system.cfg, [s])
+            with ctl_lock:
+                ctl["params"].append(s)
+            return f"queued {s} (applies with a system reset)"
+
+        def _on_reset():
+            with ctl_lock:
+                ctl["reset"] = True
+
+        viewer = LiveViewer(port=args.live_view, on_param=_on_param,
+                            on_reset=_on_reset)
         if not args.quiet:
             print(f"[run_dataset] live view: "
                   f"http://localhost:{viewer.port}/")
@@ -397,6 +417,23 @@ def main(argv=None):
         fl = {key: v for key, v in fl.items() if key != "dropped"}
         fr = {key: v for key, v in fr.items() if key != "dropped"}
         step = len(np.atleast_1d(tl))
+        if viewer is not None and (ctl["params"] or ctl["reset"]):
+            # apply queued live-view control between chunks
+            from esvo_tpu.runtime.config import with_overrides
+            with ctl_lock:
+                params, ctl["params"] = ctl["params"], []
+                do_reset, ctl["reset"] = ctl["reset"], False
+            if resident is not None:
+                resident.finish()
+                resident = None
+            if params:
+                if not args.quiet:
+                    print(f"[run_dataset] live reconfigure: {params}")
+                system.reconfigure(with_overrides(system.cfg, params))
+            elif do_reset:
+                if not args.quiet:
+                    print("[run_dataset] live reset")
+                system.reset()
         if use_resident and system.status == SystemStatus.WORKING \
                 and step == chunk:
             # ---- device-resident fast path: 1 dispatch per chunk ----

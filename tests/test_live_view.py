@@ -85,3 +85,50 @@ def test_http_dashboard_roundtrip():
         np.testing.assert_array_equal(decode_png_rgb(png2), img2)
     finally:
         viewer.close()
+
+
+def test_param_and_reset_control_channel():
+    """POST /param and /reset — the dynamic_reconfigure analogue
+    (reference cfg/DVS_MappingStereo.cfg; change handler resets,
+    esvo_Mapping.cpp:806-866). Handlers receive the requests; a
+    rejected parameter surfaces the reason with a 400."""
+    got = {"params": [], "resets": 0}
+
+    def on_param(s):
+        if "bogus" in s:
+            raise ValueError(f"unknown field {s!r}")
+        got["params"].append(s)
+        return "queued"
+
+    def on_reset():
+        got["resets"] += 1
+
+    v = LiveViewer(port=0, host="127.0.0.1", on_param=on_param,
+                   on_reset=on_reset)
+    base = f"http://127.0.0.1:{v.port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/param", data=b"bm.zncc_threshold=0.3", method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200 and b"queued" in r.read()
+        req = urllib.request.Request(f"{base}/reset", data=b"",
+                                     method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+        bad = urllib.request.Request(
+            f"{base}/param", data=b"bogus.field=1", method="POST")
+        try:
+            urllib.request.urlopen(bad)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = True
+            assert e.code == 400 and b"unknown field" in e.read()
+        assert raised
+        assert got["params"] == ["bm.zncc_threshold=0.3"]
+        assert got["resets"] == 1
+        # control UI is embedded in the dashboard page
+        with urllib.request.urlopen(f"{base}/") as r:
+            page = r.read().decode()
+        assert "setParam" in page and "reset system" in page
+    finally:
+        v.close()
