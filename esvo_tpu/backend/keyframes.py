@@ -109,12 +109,27 @@ def build_ba_problem(graph: KeyframeGraph,
         obs = obs[sel]
         obs[:, 1] = remap[obs[:, 1].astype(int)]
     M = len(obs)
+    # BUCKETED shapes: pad points to max_points (when capped) and
+    # observations to the next multiple of 1024 (obs_valid=False lanes;
+    # zero-observation padded points take a zero LM step under the
+    # damped diagonals). Exact shapes recompiled bundle_adjust on every
+    # sliding-window call — a multi-second remote compile per cycle
+    # that dominated the r4 campaign wall.
+    P = len(pts)
+    if max_points is not None and P < max_points:
+        pts = np.concatenate(
+            [pts, np.tile([[0.0, 0.0, 1e3]], (max_points - P, 1))])
+    Mp = max(((M + 1023) // 1024) * 1024, 1024)
+    valid = np.zeros(Mp, bool)
+    valid[:M] = True
+    obs_pad = np.zeros((Mp, 4))
+    obs_pad[:M] = obs
     return BAProblem(
         T_world_kf=jnp.asarray(np.stack(graph.poses)),
         points=jnp.asarray(pts),
-        obs_kf=jnp.asarray(obs[:, 0], jnp.int32),
-        obs_point=jnp.asarray(obs[:, 1], jnp.int32),
-        obs_uv=jnp.asarray(obs[:, 2:4]),
-        obs_valid=jnp.ones(M, bool),
+        obs_kf=jnp.asarray(obs_pad[:, 0], jnp.int32),
+        obs_point=jnp.asarray(obs_pad[:, 1], jnp.int32),
+        obs_uv=jnp.asarray(obs_pad[:, 2:4]),
+        obs_valid=jnp.asarray(valid),
         fx=jnp.asarray(graph.fx), fy=jnp.asarray(graph.fy),
         cx=jnp.asarray(graph.cx), cy=jnp.asarray(graph.cy))

@@ -52,6 +52,13 @@ class BackendLoop:
         # refined pose automatically moves its points (a world-coordinate
         # copy would go stale the moment BA updates the pose)
         self._kfs: list[tuple] = []
+        # jit keyed on the (now bucketed) problem shapes: without it
+        # every window advance re-traced the LM scan
+        import functools as _ft
+        import jax as _jax
+        from esvo_tpu.backend import bundle_adjustment as _ba
+        self._ba_jit = _jax.jit(_ft.partial(_ba.bundle_adjust,
+                                            cfg=self.ba_cfg))
         self.num_ba_runs = 0
         self.num_rejected_corrections = 0
         self.last_correction = np.eye(4)
@@ -81,7 +88,20 @@ class BackendLoop:
         uv = np.asarray(grid.x)[ys, xs]                 # sub-pixel coords
         p_cam = np.asarray(grid.p_cam)[ys, xs]
         T = np.asarray(sys.T_world_frame)
-        return (sys.last_tick_time, T, p_cam, uv, np.ones(len(ys), bool))
+        # FIXED-SHAPE keyframes (pad to capacity with valid=False): a
+        # varying point count recompiles every downstream jitted program
+        # (BA, ICP) on every call — each a multi-second remote compile
+        # that dominated the r4 campaign wall (1.9 ticks/s end-to-end
+        # while the loop alone ran orders of magnitude faster)
+        cap = self.max_points_per_kf
+        n = len(ys)
+        ok = np.zeros(cap, bool)
+        ok[:n] = True
+        p_pad = np.zeros((cap, 3))
+        p_pad[:n] = p_cam
+        uv_pad = np.zeros((cap, 2))
+        uv_pad[:n] = uv
+        return (sys.last_tick_time, T, p_pad, uv_pad, ok)
 
     def maybe_update(self, tick_out: dict) -> dict | None:
         """Call after a mapping tick; runs BA when the window advances.
@@ -139,7 +159,7 @@ class BackendLoop:
                                                          self.ba_cfg)
             prob, costs = self._sharded_ba(prob)
         else:
-            prob, costs = bundle_adjust(prob, self.ba_cfg)
+            prob, costs = self._ba_jit(prob)
         self.num_ba_runs += 1
 
         # fold the newest keyframe's correction into the live state —

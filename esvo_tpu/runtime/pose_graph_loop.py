@@ -92,7 +92,17 @@ class PoseGraphLoop:
         order = np.argsort(var)[:self.max_points_per_kf]
         p_cam = np.asarray(grid.p_cam)[ys[order], xs[order]]
         T = np.asarray(sys.T_world_frame, np.float64)
-        return (sys.last_tick_time, T, p_cam, np.ones(len(order), bool))
+        # FIXED-SHAPE keyframe clouds (pad to capacity, valid=False):
+        # varying point counts recompile the jitted ICP on every
+        # loop-closure verification — multi-second remote compiles that
+        # dominated the r4 campaign wall
+        cap = self.max_points_per_kf
+        n = len(order)
+        ok = np.zeros(cap, bool)
+        ok[:n] = True
+        p_pad = np.zeros((cap, 3))
+        p_pad[:n] = p_cam
+        return (sys.last_tick_time, T, p_pad, ok)
 
     def _compact(self):
         """The descriptor database is full: evict the oldest half of the

@@ -108,6 +108,10 @@ def parse_args(argv=None):
                     help="directory: dump per-mapping-cycle depth-map txt "
                          "files ('x y z' per valid point, nanosecond-stamped "
                          "names; reference saveDepthMap format)")
+    ap.add_argument("--depth-dump-every", type=int, default=1,
+                    help="dump every Nth mapping publish (each dump "
+                         "pulls the grid to the host — thin out for "
+                         "long runs)")
     ap.add_argument("--global-map-out",
                     help="write the accumulated voxel-downsampled global "
                          "point cloud (xyz text) here")
@@ -126,9 +130,9 @@ def parse_args(argv=None):
                          "dispatch while WORKING (runtime/resident.py; "
                          "pose table + ref map stay on device). "
                          "Bootstrap/reset still run on the host path. "
-                         "NOTE: BA/loop-closure keyframe cadence is then "
-                         "counted in dispatches (= ROLLS mapping cycles), "
-                         "so scale --ba-every/--loop-every accordingly. "
+                         "BA/loop-closure cadences count mapping CYCLES "
+                         "(a dispatch reports its ROLLS cycles), sampled "
+                         "at dispatch granularity. "
                          "Requires --roll > 1 and a single device.")
     ap.add_argument("--devices", type=int, default=1,
                     help="shard the mapping event axis (and BA, with --ba) "
@@ -413,6 +417,7 @@ def main(argv=None):
         return out
 
     k = 0
+    n_dumpable = 0
     for (tl, fl), (_, fr) in pairs:
         fl = {key: v for key, v in fl.items() if key != "dropped"}
         fr = {key: v for key, v in fr.items() if key != "dropped"}
@@ -494,7 +499,9 @@ def main(argv=None):
                 f"{out['status']}  map={out.get('map_points', 0)}")
         if args.save_depth_maps and ("bm_stats" in out
                                      or "sgm_points" in out):
-            system.save_depth_map(args.save_depth_maps)
+            n_dumpable += 1
+            if n_dumpable % max(args.depth_dump_every, 1) == 0:
+                system.save_depth_map(args.save_depth_maps)
         if args.checkpoint_every and \
                 t_sync - last_ckpt >= args.checkpoint_every:
             from esvo_tpu.runtime.checkpoint import save_checkpoint

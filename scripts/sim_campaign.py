@@ -198,6 +198,7 @@ def run_system(args, ba=None, loop_closure=None, tag=""):
             "--roll", str(args.roll),
             "--out", os.path.join(args.out, f"trajectory{tag}.txt"),
             "--save-depth-maps", depth_dir,
+            "--depth-dump-every", "2",
             "--cache"]
     if args.resident > 0:
         argv += ["--resident", str(args.resident)]

@@ -147,4 +147,8 @@ def test_keyframe_graph_association():
 
     prob = build_ba_problem(g)
     assert prob.points.shape == (g.num_points, 3)
-    assert prob.obs_uv.shape == (100, 2)
+    # observations pad to a 1024 bucket (shape-stable jit; r5) with the
+    # real rows valid-masked at the front
+    assert prob.obs_uv.shape == (1024, 2)
+    assert int(prob.obs_valid.sum()) == 100
+    assert bool(prob.obs_valid[:100].all())
