@@ -53,6 +53,10 @@ def parse_args(argv=None):
     # stream was ~8x sparser than a real sensor and the time surfaces
     # were mostly decayed, starving dense BM while SGM kept reseeding
     ap.add_argument("--laps", type=int, default=4)
+    ap.add_argument("--rot-scale", type=float, default=1.0,
+                    help="scale the trajectory's rotational amplitudes "
+                         "(rotation-rich stress; 2.0 doubles peak "
+                         "angular excursion/rate)")
     ap.add_argument("--contrast", type=float, default=0.10,
                     help="sensor contrast threshold C")
     ap.add_argument("--set", dest="overrides", action="append", default=[],
@@ -99,7 +103,8 @@ def generate(args):
     want = {"duration": args.duration, "laps": args.laps,
             "width": args.width, "height": args.height, "fx": args.fx,
             "baseline": args.baseline, "seed": args.seed,
-            "aliasing": args.aliasing, "contrast": args.contrast}
+            "aliasing": args.aliasing, "contrast": args.contrast,
+            "rot_scale": args.rot_scale}
     if not args.regen and os.path.exists(meta_path):
         with open(meta_path) as f:
             have = json.load(f)
@@ -130,8 +135,10 @@ def generate(args):
     else:
         cfg = esim.SensorConfig(contrast_threshold=args.contrast,
                                 event_budget_per_step=8192)
+    amp_r = tuple(args.rot_scale * a for a in (0.10, 0.22, 0.06))
     pose_fn = lambda t: esim.loop_trajectory_pose(t, args.duration,
-                                                  laps=args.laps)
+                                                  laps=args.laps,
+                                                  amp_r=amp_r)
     t0 = time.perf_counter()
     done = [0]
 
@@ -220,6 +227,15 @@ def run_system(args, ba=None, loop_closure=None, tag=""):
     # as 3-5 m trajectory steps)
     argv += ["--set", "tracking.max_speed_mps=1.0",
              "--set", "tracking.max_ang_speed_rps=3.0"]
+    # tracker solver capacity for dense noisy streams: the preset's
+    # 10 rounds x 300-point batches leave the solve under-converged on
+    # 480k ev/s surfaces — r5 slice sweep measured ATE 1.10 -> 0.68 and
+    # velocity-guard rejections 1905 -> 720 (of 2400 ticks) going to
+    # 15 rounds x 500-point batches; larger still was NOT better
+    # (20x1000: 1.39 — the chaotic closed loop punishes over-fitting
+    # single batches)
+    argv += ["--set", "tracker.max_iteration=15",
+             "--set", "tracker.batch_size=500"]
     # loop-closure ICP gates scaled to the campaign map's depth-noise
     # floor: ~2-5% inverse-depth error at 2-4 m is a 5-15 cm point noise,
     # so the default 5 cm correspondence radius can never collect inliers
