@@ -76,6 +76,15 @@ class TrackingNodeConfig:
     max_speed_mps: float = 30.0
     max_ang_speed_rps: float = 10.0
     max_consecutive_rejects: int = 20
+    # constant-velocity motion prior for the tracker's initial guess
+    # (device-resident loop): extrapolate one accepted step forward
+    # instead of starting from the last pose. Keeps the solve inside
+    # its convergence basin through fast motion phases — and through
+    # velocity-guard freezes, where the last-pose guess goes
+    # increasingly stale (the r5 campaign's divergence episodes all
+    # started there). The reference starts from the last pose but its
+    # tracker never freezes (it has no guard).
+    constant_velocity_prior: bool = True
 
 
 @dataclasses.dataclass

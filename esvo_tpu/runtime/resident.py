@@ -62,6 +62,8 @@ class ResidentState:
     pose_times: jax.Array      # (S,) strictly increasing, newest last
     pose_tab: jax.Array        # (S, 4, 4)
     T_world_cur: jax.Array     # (4, 4)
+    T_world_prev: jax.Array    # (4, 4) previous ACCEPTED pose (the
+    #                            constant-velocity prior's anchor)
     T_world_frame: jax.Array   # (4, 4) frame of the current ref map
     history: object            # DepthEstimates (F, N, ...)
     hist_slot: jax.Array       # int32 scalar
@@ -179,22 +181,33 @@ class ResidentLoop:
                 T_ref_world = se3_inverse(T_world_ref)
 
                 def tick(carry, tinp):
-                    (ts_l, ts_r, T_cur, ptimes, ptab, consec, nrej) = carry
+                    (ts_l, ts_r, T_cur, T_prev, ptimes, ptab, consec,
+                     nrej) = carry
                     evl_k, evr_k, t_k = tinp
+                    if tr_node.constant_velocity_prior:
+                        # initial guess = last ACCEPTED step extrapolated
+                        # once (left-delta); identity while frozen
+                        step = jnp.matmul(T_cur, se3_inverse(T_prev),
+                                          precision="highest")
+                        guess = jnp.matmul(step, T_cur,
+                                           precision="highest")
+                    else:
+                        guess = T_cur
                     ts_l, ts_r, _, T_est, rms = system._track_tick_body(
                         ts_l, ts_r, evl_k, evr_k, t_k, T_world_ref,
-                        T_ref_world, p_ref, ok, T_cur)
+                        T_ref_world, p_ref, ok, guess)
                     (T_new, ptimes, ptab, consec, nrej,
                      accepted) = _guard_append(
                         T_est.astype(dt), T_cur, t_k, ptimes, ptab,
                         consec, nrej, tr_node)
-                    return ((ts_l, ts_r, T_new, ptimes, ptab, consec,
-                             nrej), (T_new, rms[-1], accepted))
+                    T_prev = jnp.where(accepted, T_cur, T_prev)
+                    return ((ts_l, ts_r, T_new, T_prev, ptimes, ptab,
+                             consec, nrej), (T_new, rms[-1], accepted))
 
                 carry0 = (st.ts_left, st.ts_right, st.T_world_cur,
-                          st.pose_times, st.pose_tab, st.consec_rejects,
-                          st.num_rejects)
-                (ts_l, ts_r, T_cur, ptimes, ptab, consec,
+                          st.T_world_prev, st.pose_times, st.pose_tab,
+                          st.consec_rejects, st.num_rejects)
+                (ts_l, ts_r, T_cur, T_prev, ptimes, ptab, consec,
                  nrej), (poses, rms, acc) = jax.lax.scan(
                     tick, carry0, (evl, evr, ts))
 
@@ -219,6 +232,7 @@ class ResidentLoop:
                 st2 = st.replace(
                     ts_left=ts_l, ts_right=ts_r, pose_times=ptimes,
                     pose_tab=ptab, T_world_cur=T_cur,
+                    T_world_prev=T_prev,
                     T_world_frame=jnp.where(good, T_wf, st.T_world_frame),
                     history=history, hist_slot=hist_slot, grid=grid,
                     ref_pts=jnp.where(good, pts_world, st.ref_pts),
@@ -249,6 +263,7 @@ class ResidentLoop:
 
         return state.replace(
             T_world_cur=mul(state.T_world_cur),
+            T_world_prev=mul(state.T_world_prev),
             T_world_frame=mul(state.T_world_frame),
             pose_tab=jnp.einsum("ij,sjk->sik", cj, state.pose_tab,
                                 precision="highest"),
@@ -291,6 +306,9 @@ class ResidentLoop:
             pose_times=jnp.asarray(times, dt),
             pose_tab=jnp.asarray(poses, dt),
             T_world_cur=jnp.asarray(system.T_world_cur, dt),
+            T_world_prev=jnp.asarray(
+                system.pose_list[-2] if len(system.pose_list) > 1
+                else system.T_world_cur, dt),
             T_world_frame=jnp.asarray(system.T_world_frame, dt),
             history=system.history,
             hist_slot=jnp.asarray(system._hist_slot, jnp.int32),
