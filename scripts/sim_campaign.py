@@ -257,6 +257,14 @@ def run_system(args, ba=None, loop_closure=None, tag=""):
     # inliers ~0.05, mean_d ~0.03). The drift-plausibility and inlier
     # gates still police wrong-place edges; the campaign's TP/FP
     # classification against analytic GT audits the result.
+    # keyframe-database capacity sized to the run: the default 512-cap
+    # DB compacts (evicts the oldest half) once a long run exceeds it,
+    # dropping early keyframes AND their loop edges — the r5 192 s run
+    # lost its whole pre-compaction history (pg trajectory started at
+    # t=77 s, edge classification empty). ~3 keyframes/s at the
+    # campaign cadence; descriptor memory is trivial (192 floats each).
+    argv += ["--lc-set",
+             f"capacity={max(512, int(args.duration * 6))}"]
     argv += ["--lc-set", "icp_max_corr_dist=0.15",
              "--lc-set", "icp_max_mean_dist=0.10",
              # drift-proportional correction gating: the bootstrap
