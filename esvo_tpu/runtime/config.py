@@ -78,13 +78,14 @@ class TrackingNodeConfig:
     max_consecutive_rejects: int = 20
     # constant-velocity motion prior for the tracker's initial guess
     # (device-resident loop): extrapolate one accepted step forward
-    # instead of starting from the last pose. Keeps the solve inside
-    # its convergence basin through fast motion phases — and through
-    # velocity-guard freezes, where the last-pose guess goes
-    # increasingly stale (the r5 campaign's divergence episodes all
-    # started there). The reference starts from the last pose but its
-    # tracker never freezes (it has no guard).
-    constant_velocity_prior: bool = True
+    # instead of starting from the last pose. Helps open-loop runs on
+    # fast/noisy streams (r5 campaign raw ATE 1.57 -> 1.07) but is
+    # DEFAULT OFF: extrapolating through one accepted outlier drifts
+    # the next guess ahead of the map and can run away (measured: the
+    # bench's synthetic closed loop diverged at some dispatch sizes,
+    # and the campaign's pose-graph configuration scored worse with it).
+    # The reference always starts from the last pose.
+    constant_velocity_prior: bool = False
 
 
 @dataclasses.dataclass
