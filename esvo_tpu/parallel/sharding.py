@@ -62,10 +62,13 @@ def sharded_surface_update(mesh: Mesh, state: tsf.TimeSurfaceState,
         return (jax.lax.pmax(local.last_t_pos, EVENT_AXIS),
                 jax.lax.pmax(local.last_t_neg, EVENT_AXIS))
 
-    fn = shard_map(
+    # jit the shard_map: called eagerly it would dispatch every
+    # primitive of the body as its own sharded program (minutes of
+    # per-op compiles on a CPU mesh) instead of one compiled program
+    fn = jax.jit(shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(EVENT_AXIS)),
-        out_specs=(P(), P()), check_vma=False)
+        out_specs=(P(), P()), check_vma=False))
     pos, neg = fn(state.last_t_pos, state.last_t_neg, ev)
     return tsf.TimeSurfaceState(last_t_pos=pos, last_t_neg=neg)
 
@@ -89,14 +92,14 @@ def sharded_map_estimate(mesh: Mesh, rig: StereoRig,
                        matches.valid, t, ts_l, ts_r, rig, dp_cfg)
         return est
 
-    fn = shard_map(
+    fn = jax.jit(shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(EVENT_AXIS), P(EVENT_AXIS), P(EVENT_AXIS),
                   P(EVENT_AXIS), P(EVENT_AXIS)),
         # prefix spec: every DepthEstimates leaf is sharded on its
         # leading (event) axis
         out_specs=P(EVENT_AXIS),
-        check_vma=False)
+        check_vma=False))
     return fn
 
 
@@ -140,7 +143,7 @@ def sharded_tracking_step(mesh: Mesh, camera: Camera,
         in_specs=(P(), P(), P(), P(), P(), P(), P(EVENT_AXIS),
                   P(EVENT_AXIS)),
         out_specs=(P(), P()), check_vma=False)
-    return fn
+    return jax.jit(fn)
 
 
 def sharded_bundle_adjust(mesh: Mesh, cfg: ba.BAConfig):
@@ -160,11 +163,11 @@ def sharded_bundle_adjust(mesh: Mesh, cfg: ba.BAConfig):
         prob, costs = ba.bundle_adjust(prob, cfg, axis_name=EVENT_AXIS)
         return prob.T_world_kf, prob.points, costs
 
-    fn = shard_map(
+    fn = jax.jit(shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(EVENT_AXIS), P(EVENT_AXIS), P(EVENT_AXIS),
                   P(EVENT_AXIS), P(), P(), P(), P()),
-        out_specs=(P(), P(), P()), check_vma=False)
+        out_specs=(P(), P(), P()), check_vma=False))
 
     def run(prob: ba.BAProblem):
         T_kf, points, costs = fn(prob.T_world_kf, prob.points, prob.obs_kf,
@@ -198,11 +201,11 @@ def sharded_ba_normal_equations(mesh: Mesh, cfg: ba.BAConfig):
             prob, cfg, axis_name=EVENT_AXIS)
         return B, C, gc, gp
 
-    return shard_map(
+    return jax.jit(shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(EVENT_AXIS), P(EVENT_AXIS), P(EVENT_AXIS),
                   P(EVENT_AXIS), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P()), check_vma=False)
+        out_specs=(P(), P(), P(), P()), check_vma=False))
 
 
 def sharded_pose_graph(mesh: Mesh, cfg):
@@ -223,11 +226,11 @@ def sharded_pose_graph(mesh: Mesh, cfg):
                                               axis_name=EVENT_AXIS)
         return graph.T_world, costs
 
-    fn = shard_map(
+    fn = jax.jit(shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(EVENT_AXIS), P(EVENT_AXIS), P(EVENT_AXIS),
                   P(EVENT_AXIS), P(EVENT_AXIS), P(EVENT_AXIS)),
-        out_specs=(P(), P()), check_vma=False)
+        out_specs=(P(), P()), check_vma=False))
 
     def run(graph):
         T_world, costs = fn(graph.T_world, graph.edge_i, graph.edge_j,
